@@ -1,0 +1,236 @@
+"""Converter — the detect -> read -> cap-SH -> filter -> rgb -> write pipeline.
+
+Behavior parity with the reference orchestrator
+(/root/reference/gsconverter/converter.py): format detection by extension +
+PLY-header sniffing (converter.py:27-61), SH capping policy
+final = min(source_active, requested, format limit) (converter.py:152-188),
+filter ordering bbox -> alpha -> density -> SOR -> auto-bbox
+(converter.py:194-239), auto-RGB for {cc, splat, ksplat, sog}
+(converter.py:240-254), extras preserve/strip policy (converter.py:265-285),
+and the tqdm progress milestones (5/25/30/40).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from typing import Any
+
+from . import config as config_mod
+from .cloud import SplatCloud
+from .config import ConvertOptions
+from .formats import get_handler
+from .formats.base import BaseFormat
+from .ops import filters, sh
+from .utils import ply as ply_io
+from .utils.log import StageTimer, debug_print, status_print
+
+VALID_FORMATS = ["3dgs", "cc", "parquet", "splat", "ksplat", "spz", "sog", "compressed_ply"]
+
+# Per-format SH caps (reference converter.py:154-163).
+FORMAT_MAX_SH = {
+    "3dgs": 3, "cc": 3, "parquet": 3, "ksplat": 2,
+    "splat": 0, "spz": 3, "sog": 3, "compressed_ply": 3,
+}
+FORMATS_NEEDING_RGB = ("cc", "splat", "ksplat", "sogs", "sog")
+
+EXT_MAP = {
+    "3dgs": ".ply", "cc": ".ply", "compressed_ply": ".ply",
+    "sog": ".sog", "splat": ".splat", "ksplat": ".ksplat",
+    "spz": ".spz", "parquet": ".parquet",
+}
+
+
+def detect_format(path: str) -> str | None:
+    """Extension + content detection (reference converter.py:27-61)."""
+    p = path.lower()
+    for ext, fmt in ((".parquet", "parquet"), (".splat", "splat"),
+                     (".ksplat", "ksplat"), (".spz", "spz"), (".sog", "sog")):
+        if p.endswith(ext):
+            return fmt
+    # PLY flavor sniffing
+    try:
+        header = ply_io.sniff_header_text(path)
+    except Exception as e:
+        debug_print(f"[DEBUG] Error identifying PLY flavor: {e}")
+        return None
+    if "element chunk" in header:
+        return "compressed_ply"
+    if "property float f_dc_0" in header:
+        return "3dgs"
+    if ("property float scal_f_dc_0" in header
+            or "property float scalar_scal_f_dc_0" in header
+            or "property float scalar_f_dc_0" in header):
+        return "cc"
+    return None
+
+
+class Converter:
+    """Public API entry (reference converter.py:12-25)."""
+
+    def __init__(self, input_path: str, output_path: str, target_format: str):
+        self.input_path = input_path
+        self.output_path = output_path
+        self.target_format = target_format.lower()
+        if self.target_format not in VALID_FORMATS:
+            raise ValueError(
+                f"Unknown target format '{self.target_format}'. "
+                f"Supported: {', '.join(VALID_FORMATS)}"
+            )
+        self.cloud: SplatCloud | None = None
+        self.source_format: str | None = None
+        self.source_handler: BaseFormat | None = None
+        self.timer = StageTimer()
+
+    # ------------------------------------------------------------------ load
+    def load_source_only(self) -> SplatCloud:
+        self.source_format = detect_format(self.input_path)
+        if not self.source_format:
+            raise ValueError("Could not detect source format")
+        debug_print(f"[DEBUG] Detected source format: {self.source_format}")
+        self.source_handler = get_handler(self.source_format)
+        self.cloud = self.source_handler.read(self.input_path)
+        return self.cloud
+
+    # ------------------------------------------------------------------- run
+    def run(self, **kwargs: Any) -> SplatCloud:
+        opts = _opts_from_kwargs(kwargs)
+        from tqdm import tqdm
+
+        with tqdm(total=100, desc="Converting",
+                  bar_format="{desc}: {percentage:3.0f}% |{bar}| {n_fmt}/{total_fmt}") as pbar:
+            # 1. detect
+            self.source_format = detect_format(self.input_path)
+            if not self.source_format:
+                raise ValueError("Could not detect source format")
+            debug_print(f"[DEBUG] Detected source format: {self.source_format}")
+            pbar.update(5)
+
+            # 2. read
+            pbar.set_description("Reading Source")
+            self.source_handler = get_handler(self.source_format)
+            with self.timer.stage("read"):
+                cloud = self.source_handler.read(self.input_path)
+            pbar.update(25)
+
+            # 3. SH capping: min(source_active, requested, format limit)
+            pbar.set_description("Processing")
+            with self.timer.stage("sh_cap", cloud.n):
+                source_deg = sh.detect_active_degree(cloud)
+                target_limit = FORMAT_MAX_SH.get(self.target_format, 3)
+                final_deg = source_deg
+                if opts.sh_level is not None:
+                    if opts.sh_level > target_limit:
+                        status_print(
+                            f"Warning: Requested SH degree {opts.sh_level} exceeds limit "
+                            f"for '{self.target_format}' ({target_limit}). Capping to {target_limit}."
+                        )
+                    if opts.sh_level > source_deg:
+                        status_print(
+                            f"Warning: Requested SH degree {opts.sh_level} exceeds source "
+                            f"data degree ({source_deg}). Capping to {source_deg}."
+                        )
+                    final_deg = min(final_deg, opts.sh_level)
+                final_deg = min(final_deg, target_limit)
+                if final_deg < source_deg:
+                    status_print(f"SH Reduction: Source degree {source_deg} -> Target degree {final_deg}")
+                cloud = sh.cap_degree(cloud, final_deg)
+            pbar.update(5)
+
+            # 4. filters (order: bbox -> alpha -> density -> SOR -> auto-bbox)
+            pbar.set_description("Filtering")
+            if opts.bbox:
+                with self.timer.stage("bbox", cloud.n):
+                    cloud = filters.crop_by_bbox(cloud, opts.bbox)
+            if opts.min_opacity is not None and opts.min_opacity > 0:
+                with self.timer.stage("alpha", cloud.n):
+                    cloud = filters.alpha_filter(cloud, opts.min_opacity)
+            run_density = (
+                (opts.density_voxel_size is not None and opts.density_threshold is not None)
+                or opts.density_sensitivity is not None
+            )
+            if run_density:
+                with self.timer.stage("density", cloud.n):
+                    cloud = filters.density_filter(
+                        cloud,
+                        voxel_size=(1.0 if opts.density_voxel_size is None
+                                    else float(opts.density_voxel_size)),
+                        threshold_percentage=(0.32 if opts.density_threshold is None
+                                              else float(opts.density_threshold)),
+                        sensitivity=opts.density_sensitivity,
+                        keep_multicluster=opts.keep_multicluster,
+                    )
+            pbar.update(10)
+            run_sor = (
+                (opts.sor_k is not None and opts.sor_sigma is not None)
+                or opts.sor_intensity is not None
+            )
+            if run_sor:
+                pbar.set_description("Filtering (SOR)")
+                with self.timer.stage("sor", cloud.n):
+                    cloud = filters.remove_flyers(
+                        cloud,
+                        k=25 if opts.sor_k is None else int(opts.sor_k),
+                        threshold_factor=(10.5 if opts.sor_sigma is None
+                                          else float(opts.sor_sigma)),
+                        intensity=opts.sor_intensity,
+                    )
+            pbar.update(10)
+            if opts.auto_bbox:
+                cloud = filters.auto_bbox(cloud)
+
+            # 5. RGB synthesis
+            if (self.target_format in FORMATS_NEEDING_RGB and not cloud.has_rgb) or opts.rgb:
+                if not cloud.has_rgb:
+                    status_print(
+                        f"Target format '{self.target_format}' requires RGB. "
+                        "Auto-calculating from SH..."
+                    )
+                    cloud = sh.add_rgb(cloud)
+            pbar.update(5)
+            self.cloud = cloud
+
+            # 6. write (with extras policy)
+            pbar.set_description(f"Writing {self.target_format.upper()}")
+            write_kwargs = dict(kwargs)
+            extras = getattr(self.source_handler, "extra_elements", ())
+            if opts.maintain_extra_elements:
+                if extras:
+                    write_kwargs["extra_elements"] = extras
+                    handler_cls = get_handler(self.target_format)
+                    if not handler_cls.supports_extra_elements:
+                        status_print(
+                            f"Warning: Target format '{self.target_format}' does not support "
+                            "preserving extra elements. These will be ignored."
+                        )
+                else:
+                    status_print("Warning: --extra_elements passed but no extra elements found in source.")
+            elif extras:
+                status_print(
+                    f"Stripping {len(extras)} extra PLY elements "
+                    "(use --extra_elements to preserve)."
+                )
+
+            target_handler = get_handler(self.target_format)
+            with self.timer.stage("write", cloud.n):
+                target_handler.write(cloud, self.output_path, **write_kwargs)
+            pbar.update(40)
+            pbar.refresh()
+            pbar.set_description("Completed")
+
+        status_print(f"Conversion completed: Saved to {self.output_path}")
+        return cloud
+
+
+def _opts_from_kwargs(kwargs: dict) -> ConvertOptions:
+    fields = {f.name for f in dataclasses.fields(ConvertOptions)}
+    known = {k: v for k, v in kwargs.items() if k in fields and v is not None}
+    opts = ConvertOptions(**known)
+    if "keep_multicluster" not in known:
+        opts.keep_multicluster = bool(kwargs.get("keep_multicluster", False))
+    return opts
+
+
+def convert(input_path: str, output_path: str, target_format: str, **kwargs: Any) -> SplatCloud:
+    """One-shot functional API."""
+    return Converter(input_path, output_path, target_format).run(**kwargs)

@@ -1,0 +1,325 @@
+"""mkkellogg .ksplat codec.
+
+Container (reference formats/ksplat.py): 4096-byte file header + 1024-byte
+per-section headers + payload of [partial-bucket lengths u32] [bucket center
+f32x3] [interleaved splat records].  Compression levels: 0 = f32 everywhere;
+1 = u16 bucket-relative positions, f16 scale/rot/SH; 2 = same but u8 SH in
+the header's [min_sh, max_sh] range (writer hardcodes [-2, 2], reference
+ksplat.py:379 — byte-parity preserved).  SH degree capped at 2.
+
+TPU-first: bucket min/max via reshape-reduce on padded [B, bucket] tensors;
+all quantization is jit jnp; only header emission + interleave on host.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..cloud import SH_C0, SplatCloud
+from ..ops import quant, sh
+from ..utils.log import debug_print, status_print
+from .base import BaseFormat, register
+
+HEADER_SIZE = 4096
+SECTION_HEADER_SIZE = 1024
+MAGIC_MAJOR, MAGIC_MINOR = 0, 1
+SCALE_RANGE = 32767
+
+_SH_COUNT = {0: 0, 1: 9, 2: 24}
+
+
+def _partial(fn, **kw):
+    import functools
+
+    return functools.partial(fn, **kw)
+
+
+@_partial(jax.jit, static_argnames=("bucket_size",))
+def _bucket_centers(pos, bucket_size: int):
+    """Per-bucket AABB centers over contiguous buckets (reference ksplat.py:426-444)."""
+    n = pos.shape[0]
+    pad = (-n) % bucket_size
+    padded = jnp.concatenate([pos, jnp.repeat(pos[-1:], pad, axis=0)], axis=0) if pad else pos
+    b = padded.reshape(-1, bucket_size, 3)
+    centers = (jnp.min(b, axis=1) + jnp.max(b, axis=1)) / 2.0
+    return centers
+
+
+@_partial(jax.jit, static_argnames=("bucket_size",))
+def _quantize_pos(pos, centers, bucket_size: int, block_size):
+    n = pos.shape[0]
+    cidx = jnp.arange(n) // bucket_size
+    sf_inv = SCALE_RANGE / (block_size / 2.0)
+    q = jnp.round((pos - centers[cidx]) * sf_inv) + SCALE_RANGE
+    return jnp.clip(q, 0, 65535).astype(jnp.uint16)
+
+
+@jax.jit
+def _color_u8(sh_dc, opacity):
+    rgb = sh.rgb_u8_linear_from_dc(sh_dc)
+    a = jnp.clip(jax.nn.sigmoid(opacity) * 255.0, 0, 255).astype(jnp.uint8)
+    return jnp.concatenate([rgb, a[:, None]], axis=1)
+
+
+@register
+class KSplatFormat(BaseFormat):
+    name = "ksplat"
+    extension = ".ksplat"
+    max_sh_degree = 2
+    needs_rgb = True
+
+    # ------------------------------------------------------------------ read
+    def read(self, path: str, **kwargs) -> SplatCloud:
+        with open(path, "rb") as f:
+            header = f.read(HEADER_SIZE)
+            v_major, v_minor = header[0], header[1]
+            if (v_major, v_minor) != (MAGIC_MAJOR, MAGIC_MINOR):
+                debug_print(f"[DEBUG] KSplat version mismatch: {v_major}.{v_minor}")
+            max_sections = struct.unpack_from("<I", header, 4)[0]
+            splat_count = struct.unpack_from("<I", header, 16)[0]
+            comp = struct.unpack_from("<H", header, 20)[0]
+            min_sh = struct.unpack_from("<f", header, 36)[0]
+            max_sh = struct.unpack_from("<f", header, 40)[0]
+            self.metadata = dict(
+                v_major=v_major, v_minor=v_minor, splat_count=splat_count,
+                compression_level=comp, min_sh=min_sh, max_sh=max_sh, sections=[],
+            )
+            sections = []
+            for _ in range(max_sections):
+                sdata = f.read(SECTION_HEADER_SIZE)
+                if len(sdata) < SECTION_HEADER_SIZE:
+                    break
+                s = dict(
+                    splatCount=struct.unpack_from("<I", sdata, 0)[0],
+                    maxSplatCount=struct.unpack_from("<I", sdata, 4)[0],
+                    bucketSize=struct.unpack_from("<I", sdata, 8)[0],
+                    bucketCount=struct.unpack_from("<I", sdata, 12)[0],
+                    bucketBlockSize=struct.unpack_from("<f", sdata, 16)[0],
+                    bucketStorageSizeBytes=struct.unpack_from("<H", sdata, 20)[0],
+                    compressionScaleRange=struct.unpack_from("<I", sdata, 24)[0],
+                    storageSizeBytes=struct.unpack_from("<I", sdata, 28)[0],
+                    fullBucketCount=struct.unpack_from("<I", sdata, 32)[0],
+                    partiallyFilledBucketCount=struct.unpack_from("<I", sdata, 36)[0],
+                    shDegree=struct.unpack_from("<H", sdata, 40)[0],
+                )
+                if s["compressionScaleRange"] == 0 and comp >= 1:
+                    s["compressionScaleRange"] = SCALE_RANGE
+                sections.append(s)
+                self.metadata["sections"].append(s)
+            payload = f.read()
+
+        parts = []
+        offset = 0
+        global_deg = max((s["shDegree"] for s in sections), default=0)
+        for s in sections:
+            part, offset = self._read_section(payload, offset, s, comp)
+            parts.append(part)
+
+        if not parts:
+            return SplatCloud.zeros(0, active_sh_degree=global_deg)
+        merged = {
+            k: jnp.concatenate([p[k] for p in parts], axis=0) for k in parts[0]
+        }
+        n = merged["pos"].shape[0]
+        return SplatCloud(
+            pos=merged["pos"], sh_dc=merged["sh_dc"], sh_rest=merged["sh_rest"],
+            opacity=merged["opacity"], log_scale=merged["log_scale"],
+            quat=merged["quat"], normal=jnp.zeros((n, 3), jnp.float32),
+            active_sh_degree=global_deg,
+        )
+
+    def _read_section(self, payload: bytes, offset: int, s: dict, comp: int):
+        pfb = s["partiallyFilledBucketCount"]
+        pfb_lengths = np.frombuffer(payload, np.uint32, pfb, offset)
+        offset += pfb * 4
+        bcount = s["bucketCount"]
+        centers = np.frombuffer(payload, np.float32, bcount * 3, offset).reshape(-1, 3)
+        offset += bcount * 12
+
+        n = s["splatCount"]
+        deg = s["shDegree"]
+        sh_count = _SH_COUNT.get(deg, 0)
+        if comp == 0:
+            rec = [("pos", "<3f4"), ("scale", "<3f4"), ("rot", "<4f4"), ("color", "4u1")]
+            sh_np = "<f4"
+        else:
+            rec = [("pos", "<3u2"), ("scale", "<3u2"), ("rot", "<4u2"), ("color", "4u1")]
+            sh_np = "<f2" if comp == 1 else "u1"
+        if sh_count:
+            rec.append(("sh", sh_np, (sh_count,)))
+        dt = np.dtype(rec)
+        raw = np.frombuffer(payload, dt, n, offset)
+        offset += s["maxSplatCount"] * dt.itemsize
+
+        if comp == 0:
+            pos = jnp.asarray(raw["pos"].copy())
+            log_scale = jnp.log(jnp.maximum(jnp.asarray(raw["scale"].copy()), 1e-9))
+            quat = jnp.asarray(raw["rot"].copy())
+        else:
+            # bucket assignment: full buckets then partial (reference ksplat.py:148-156)
+            fb, bsz = s["fullBucketCount"], s["bucketSize"]
+            assign = np.repeat(np.arange(fb), bsz)
+            for i, ln in enumerate(pfb_lengths):
+                assign = np.concatenate([assign, np.full(int(ln), fb + i)])
+            assign = assign[:n]
+            sf = (s["bucketBlockSize"] / 2.0) / s["compressionScaleRange"]
+            pos_u = jnp.asarray(raw["pos"].astype(np.float32))
+            pos = (pos_u - s["compressionScaleRange"]) * sf + jnp.asarray(centers[assign])
+            scales = jnp.asarray(raw["scale"].copy().view(np.float16).astype(np.float32))
+            log_scale = jnp.log(jnp.maximum(scales, 1e-9))
+            r_u = jnp.asarray(raw["rot"].astype(np.float32))
+            quat = (r_u - 32767.5) / 32767.5 * quant.SQRT2
+
+        color = jnp.asarray(raw["color"].copy())
+        sh_dc = (color[:, :3].astype(jnp.float32) / 255.0 - 0.5) / SH_C0
+        opacity = quant.u8_to_logit(color[:, 3])
+
+        sh_rest = jnp.zeros((n, 3, 15), jnp.float32)
+        if sh_count:
+            vals = raw["sh"].astype(np.float32)
+            if comp == 2:
+                min_sh = self.metadata["min_sh"]
+                max_sh = self.metadata["max_sh"]
+                # Reference lvl-2 decode uses (u8-128)/128 (ksplat.py:257-258),
+                # which matches its hardcoded write range [-2,2] up to scale;
+                # decode with the header range for generality.
+                vals = vals / 255.0 * (max_sh - min_sh) + min_sh
+            sh_rest = SplatCloud.sh_rest_from_flat(jnp.asarray(vals))
+        return (
+            dict(pos=pos, sh_dc=sh_dc, sh_rest=sh_rest, opacity=opacity,
+                 log_scale=log_scale, quat=quat),
+            offset,
+        )
+
+    # ----------------------------------------------------------------- write
+    def write(self, cloud: SplatCloud, path: str, **kwargs) -> None:
+        from ..cloud import COEFFS_FOR_DEGREE
+        from ..ops.sh import detect_active_degree
+
+        comp = int(kwargs.get("compression_level", 0) or 0)
+        bucket_size = int(kwargs.get("bucket_size") or 256)
+        block_size = kwargs.get("block_size")
+
+        if comp >= 1:
+            # Morton-sort so 256-splat buckets are spatially tight; without
+            # this, bucket-relative u16 positions saturate at block_size/2
+            # (the reference buckets consecutive file order and silently
+            # clips, ksplat.py:455-457 — a quality divergence, not a format
+            # one: sections carry no ordering contract).
+            from .compressed_ply import morton_order
+
+            cloud = cloud.select(morton_order(cloud.pos))
+        n = cloud.n
+
+        if block_size is None:
+            if comp >= 1:
+                # auto-size so no bucket-relative offset saturates (the
+                # reference hardcodes 5.0 and clips, ksplat.py:332,455-457;
+                # the format's section header carries the value, so
+                # auto-sizing is interop-safe and lossless).
+                centers0 = _bucket_centers(cloud.pos, bucket_size)
+                cidx = jnp.arange(n) // bucket_size
+                max_off = jnp.max(jnp.abs(cloud.pos - centers0[cidx]))
+                block_size = float(jnp.maximum(2.0 * max_off * 1.001, 1e-3))
+            else:
+                block_size = 5.0
+        block_size = float(block_size)
+
+        sh_degree = min(detect_active_degree(cloud), 2)
+        req = kwargs.get("sh_level")
+        if req is not None and int(req) < sh_degree:
+            sh_degree = int(req)
+        sh_count = _SH_COUNT[sh_degree]
+
+        min_sh, max_sh = -2.0, 2.0
+
+        header = bytearray(HEADER_SIZE)
+        header[0], header[1] = MAGIC_MAJOR, MAGIC_MINOR
+        struct.pack_into("<I", header, 4, 1)
+        struct.pack_into("<I", header, 8, 1)
+        struct.pack_into("<I", header, 12, n)
+        struct.pack_into("<I", header, 16, n)
+        struct.pack_into("<H", header, 20, comp)
+        struct.pack_into("<f", header, 36, min_sh)
+        struct.pack_into("<f", header, 40, max_sh)
+
+        full_buckets = n // bucket_size
+        pfb = 1 if n % bucket_size else 0
+        bucket_count = full_buckets + pfb
+
+        sec = bytearray(SECTION_HEADER_SIZE)
+        struct.pack_into("<I", sec, 0, n)
+        struct.pack_into("<I", sec, 4, n)
+        if comp >= 1:
+            struct.pack_into("<I", sec, 8, bucket_size)
+            struct.pack_into("<I", sec, 12, (n + bucket_size - 1) // bucket_size)
+            struct.pack_into("<f", sec, 16, block_size)
+            struct.pack_into("<H", sec, 20, 12)
+            struct.pack_into("<I", sec, 24, SCALE_RANGE)
+        item = {0: (12, 12, 16, 4, 4), 1: (6, 6, 8, 4, 2), 2: (6, 6, 8, 4, 1)}[min(comp, 2)]
+        bytes_per_splat = sum(item[:4]) + sh_count * item[4]
+        storage = pfb * 4 + (bucket_count * 12 if comp >= 1 else 0) + n * bytes_per_splat
+        struct.pack_into("<I", sec, 28, storage)
+        struct.pack_into("<I", sec, 32, full_buckets)
+        struct.pack_into("<I", sec, 36, pfb)
+        struct.pack_into("<H", sec, 40, sh_degree)
+
+        parts: list[bytes] = []
+        if pfb:
+            parts.append(struct.pack("<I", n % bucket_size))
+
+        scales_lin = jnp.exp(cloud.log_scale)
+        color = _color_u8(cloud.sh_dc, cloud.opacity)
+        # degree-packed channel-major layout: R0..Rd,G0..Gd,B0..Bd (stride =
+        # per-channel dim of the WRITTEN degree, matching the reader's
+        # sh_rest_from_flat re-striding)
+        sh_dim = sh_count // 3
+        sh_flat = (
+            cloud.sh_rest[:, :, :sh_dim].reshape(n, sh_count) if sh_count else None
+        )
+
+        if comp == 0:
+            rec = np.dtype([("pos", "<3f4"), ("scale", "<3f4"), ("rot", "<4f4"), ("color", "4u1")]
+                           + ([("sh", "<f4", (sh_count,))] if sh_count else []))
+            out = np.zeros(n, rec)
+            out["pos"] = np.asarray(cloud.pos)
+            out["scale"] = np.asarray(scales_lin)
+            out["rot"] = np.asarray(cloud.quat)
+        else:
+            centers = _bucket_centers(cloud.pos, bucket_size)
+            parts.append(np.asarray(centers).astype("<f4").tobytes())
+            qpos = _quantize_pos(cloud.pos, centers, bucket_size, block_size)
+            rec = np.dtype([("pos", "<3u2"), ("scale", "<3u2"), ("rot", "<4u2"), ("color", "4u1")]
+                           + ([("sh", "<f2" if comp == 1 else "u1", (sh_count,))] if sh_count else []))
+            out = np.zeros(n, rec)
+            out["pos"] = np.asarray(qpos)
+            out["scale"] = np.asarray(scales_lin).astype(np.float16).view(np.uint16)
+            # Reference write stores f16 bits (ksplat.py:475) but its own
+            # reader int-dequantizes via (u-32767.5)/32767.5*sqrt2
+            # (ksplat.py:225-226).  We follow the reader/mkkellogg convention
+            # so encode->decode round-trips.
+            rot_q = jnp.clip(
+                jnp.round(cloud.quat / quant.SQRT2 * 32767.5 + 32767.5), 0, 65535
+            ).astype(jnp.uint16)
+            out["rot"] = np.asarray(rot_q)
+        out["color"] = np.asarray(color)
+        if sh_count:
+            if comp == 2:
+                q = jnp.clip((sh_flat - min_sh) / (max_sh - min_sh) * 255.0, 0, 255)
+                out["sh"] = np.asarray(q.astype(jnp.uint8))
+            elif comp == 1:
+                out["sh"] = np.asarray(sh_flat).astype(np.float16)
+            else:
+                out["sh"] = np.asarray(sh_flat)
+        parts.append(out.tobytes())
+
+        with open(path, "wb") as f:
+            f.write(header)
+            f.write(sec)
+            for p in parts:
+                f.write(p)
+        status_print(f"KSplat (Level {comp}) write completed. {n} points.")

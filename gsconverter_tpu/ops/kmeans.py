@@ -1,0 +1,223 @@
+"""K-Means on TPU — the replacement for the reference's Taichi kernels.
+
+The reference (processing/gpu_ops.py:58-96, 178-191) runs a scalar
+brute-force assign loop (O(N*K*D) per element) and an atomic-add update.
+TPU-first redesign:
+
+  - **assign**: argmin_k ||x - c||^2 computed as x2 - 2 x@c^T + c2 — the
+    dominant term is a [BN,D]x[D,BK] matmul on the MXU.  Implemented as a
+    Pallas kernel tiling N and K with a running best-(dist,idx) accumulator
+    in the output block (revisited across the K grid axis), plus an XLA
+    fallback with the same chunking for CPU/interpret tests.
+  - **update**: segment-sum of points and counts; with ``axis_name`` the
+    sums/counts are ``psum``'d across the device mesh — the distributed
+    K-Means required by SURVEY.md §2.4 ("K-Means centroids all-reduced").
+  - fixed ``iters`` with no convergence check (parity with the reference's
+    contract, gpu_ops.py:27,186); empty clusters keep their previous
+    centroid (divergence: the reference zeroes them, gpu_ops.py:76-96).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_BN = 512   # points per tile
+_BK = 256   # centroids per tile
+_LANE = 128
+
+
+def _pad_axis(a, mult, axis, value=0.0):
+    n = a.shape[axis]
+    pad = (-n) % mult
+    if pad == 0:
+        return a
+    widths = [(0, 0)] * a.ndim
+    widths[axis] = (0, pad)
+    return jnp.pad(a, widths, constant_values=value)
+
+
+# ----------------------------------------------------------- pallas assign
+
+
+def _assign_kernel(x_ref, c_ref, dist_ref, idx_ref):
+    j = pl.program_id(1)
+    x = x_ref[:]  # [BN, Dp]
+    c = c_ref[:]  # [BK, Dp]
+    # ||x-c||^2 = ||x||^2 - 2 x.c + ||c||^2 ; drop ||x||^2 (constant per row).
+    # dot_general contracting the last dims hits the MXU directly (an explicit
+    # c.T transpose makes Mosaic materialize a [BN,BK,D] broadcast instead).
+    xc = jax.lax.dot_general(
+        x, c, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )  # [BN, BK]
+    d = jnp.sum(c * c, axis=1)[None, :] - 2.0 * xc
+    tile_best = jnp.min(d, axis=1)
+    tile_idx = jnp.argmin(d, axis=1).astype(jnp.int32) + j * _BK
+
+    @pl.when(j == 0)
+    def _():
+        dist_ref[:] = tile_best[:, None]
+        idx_ref[:] = tile_idx[:, None]
+
+    @pl.when(j > 0)
+    def _():
+        prev = dist_ref[:, 0]
+        better = tile_best < prev
+        dist_ref[:] = jnp.where(better, tile_best, prev)[:, None]
+        idx_ref[:] = jnp.where(better, tile_idx, idx_ref[:, 0])[:, None]
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _assign_pallas(x: jax.Array, c: jax.Array, interpret: bool = False) -> jax.Array:
+    n, d = x.shape
+    k = c.shape[0]
+    xp = _pad_axis(_pad_axis(x, _LANE, 1), _BN, 0)
+    # Pad centroids with +inf-ish sentinels so padded entries never win.
+    cp = _pad_axis(_pad_axis(c, _LANE, 1), _BK, 0, value=3e18)
+    np_, dp = xp.shape
+    kp = cp.shape[0]
+    grid = (np_ // _BN, kp // _BK)
+    dist, idx = pl.pallas_call(
+        _assign_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((_BN, dp), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((_BK, dp), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((_BN, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((_BN, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((np_, 1), jnp.float32),
+            jax.ShapeDtypeStruct((np_, 1), jnp.int32),
+        ),
+        interpret=interpret,
+    )(xp, cp)
+    return idx[:n, 0]
+
+
+# -------------------------------------------------------------- xla assign
+
+
+@jax.jit
+def _assign_xla(x: jax.Array, c: jax.Array) -> jax.Array:
+    n, d = x.shape
+    k = c.shape[0]
+    bn = 32768
+    xp = _pad_axis(x, bn, 0)
+    c2 = jnp.sum(c * c, axis=1)
+
+    def one_block(xb):
+        dist = c2[None, :] - 2.0 * xb @ c.T
+        return jnp.argmin(dist, axis=1).astype(jnp.int32)
+
+    labels = jax.lax.map(one_block, xp.reshape(-1, bn, d))
+    return labels.reshape(-1)[:n]
+
+
+def _resolve_impl(x, impl: str) -> str:
+    if impl != "auto":
+        return impl
+    try:
+        platform = next(iter(x.devices())).platform
+    except Exception:
+        platform = jax.default_backend()
+    return "pallas" if platform in ("tpu", "axon") else "xla"
+
+
+def assign(x: jax.Array, c: jax.Array, impl: str = "auto") -> jax.Array:
+    """Nearest-centroid labels [N] for points [N,D] and centroids [K,D]."""
+    impl = _resolve_impl(x, impl)
+    if impl == "pallas":
+        return _assign_pallas(x, c)
+    if impl == "pallas_interpret":
+        return _assign_pallas(x, c, interpret=True)
+    return _assign_xla(x, c)
+
+
+# ------------------------------------------------------------------ update
+
+
+def update(x: jax.Array, labels: jax.Array, k: int, prev: jax.Array,
+           axis_name: str | None = None):
+    """New centroids = mean of assigned points; empty clusters keep prev."""
+    sums = jax.ops.segment_sum(x, labels, num_segments=k)
+    counts = jax.ops.segment_sum(jnp.ones_like(labels, jnp.float32), labels, num_segments=k)
+    if axis_name is not None:
+        sums = jax.lax.psum(sums, axis_name)
+        counts = jax.lax.psum(counts, axis_name)
+    safe = jnp.maximum(counts, 1.0)
+    new = sums / safe[:, None]
+    return jnp.where(counts[:, None] > 0, new, prev), counts
+
+
+# ------------------------------------------------------------------ driver
+
+
+def init_centroids(x: jax.Array, k: int, key: jax.Array) -> jax.Array:
+    """k-means++ D^2-sampling init.
+
+    Quality improvement over the reference's uniform random choice
+    (gpu_ops.py:182) — avoids the merged/split-cluster local minima that
+    plague Lloyd with fixed iteration counts.  O(k*N) via a running
+    min-distance accumulator in a fori_loop.
+    """
+    n = x.shape[0]
+    k0, key = jax.random.split(key)
+    first = x[jax.random.randint(k0, (), 0, n)]
+    centroids = jnp.zeros((k, x.shape[1]), x.dtype).at[0].set(first)
+    d2 = jnp.sum((x - first[None, :]) ** 2, axis=1)
+    keys = jax.random.split(key, k)
+
+    def body(i, state):
+        centroids, d2 = state
+        p = d2 / jnp.maximum(jnp.sum(d2), 1e-30)
+        idx = jax.random.categorical(keys[i], jnp.log(jnp.maximum(p, 1e-30)))
+        c = x[idx]
+        centroids = centroids.at[i].set(c)
+        d2 = jnp.minimum(d2, jnp.sum((x - c[None, :]) ** 2, axis=1))
+        return centroids, d2
+
+    centroids, _ = jax.lax.fori_loop(1, k, body, (centroids, d2))
+    return centroids
+
+
+@functools.partial(jax.jit, static_argnames=("k", "iters", "impl"))
+def _kmeans_jit(x, init, k, iters, impl):
+    def body(c, _):
+        labels = assign(x, c, impl=impl)
+        c, _ = update(x, labels, k, c)
+        return c, None
+
+    c, _ = jax.lax.scan(body, init, None, length=iters)
+    return c, assign(x, c, impl=impl)
+
+
+def kmeans(
+    data,
+    k: int,
+    max_iter: int = 10,
+    seed: int = 0,
+    impl: str = "auto",
+):
+    """Lloyd iterations with fixed ``max_iter`` (reference gpu_ops.kmeans contract).
+
+    Returns (centroids [K,D] f32, labels [N] i32). If k >= N, returns the
+    data itself as centroids (reference gpu_ops.py:30-31).
+    """
+    x = jnp.asarray(data, jnp.float32)
+    if x.ndim == 1:
+        x = x[:, None]
+    n = x.shape[0]
+    if k >= n:
+        return np.asarray(x), np.arange(n, dtype=np.int32)
+    key = jax.random.PRNGKey(seed)
+    init = init_centroids(x, k, key)
+    c, labels = _kmeans_jit(x, init, int(k), int(max_iter), _resolve_impl(x, impl))
+    return c, labels

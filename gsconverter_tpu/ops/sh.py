@@ -1,0 +1,141 @@
+"""Spherical-harmonics utilities: degree detection, capping, RGB synthesis.
+
+Behavior contracts from the reference:
+  - active-degree detection scans content backwards for the last non-zero
+    AC coefficient (converter.py:119-146),
+  - SH capping zeroes coefficients above the target degree and never
+    upscales (data_processor.py:273-298, converter.py:165-188),
+  - RGB synthesis: RGB = clip(0.5 + C0*dc, 0, 1)^(1/2.2) * 255 — note the
+    deliberate sRGB gamma (data_processor.py:300-333).
+
+All compute here is jit-able jnp over the SoA cloud.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..cloud import DIM_FOR_DEGREE, SH_C0, SplatCloud
+
+# Degree-aware real SH basis constants (standard 3DGS evaluation set).
+SH_C1 = 0.4886025119029199
+SH_C2 = (1.0925484305920792, -1.0925484305920792, 0.31539156525252005,
+         -1.0925484305920792, 0.5462742152960396)
+SH_C3 = (-0.5900435899266435, 2.890611442640554, -0.4570457994644658,
+         0.3731763325901154, -0.4570457994644658, 1.445305721320277,
+         -0.5900435899266435)
+
+
+def detect_active_degree(cloud: SplatCloud) -> int:
+    """Active SH degree from content (last non-zero AC coeff).
+
+    Host-returning (concrete int) — used at pipeline staging time, mirroring
+    reference converter.py:129-146.
+    """
+    rest = np.asarray(cloud.sh_rest)  # [N,3,15]
+    nonzero = np.any(rest != 0, axis=(0, 1))  # [15] per-coeff-any-channel
+    # Per-channel coeff j active for any channel -> degree from j.
+    active = np.nonzero(nonzero)[0]
+    if active.size == 0:
+        return 0
+    last = int(active[-1])
+    if last >= 8:
+        return 3
+    if last >= 3:
+        return 2
+    return 1
+
+
+def cap_degree(cloud: SplatCloud, degree: int | None) -> SplatCloud:
+    """Zero AC coefficients above ``degree`` (jit-able).
+
+    Reference data_processor.py:273-298 (indexes translated from flat
+    f_rest_{i>=start} to per-channel coeff columns).
+    """
+    if degree is None or degree >= 3:
+        return cloud
+    dim = DIM_FOR_DEGREE[degree]
+    mask = (jnp.arange(cloud.sh_rest.shape[-1]) < dim).astype(cloud.sh_rest.dtype)
+    return cloud.replace(
+        sh_rest=cloud.sh_rest * mask[None, None, :],
+        active_sh_degree=min(cloud.active_sh_degree, degree),
+    )
+
+
+def rgb_linear_from_dc(sh_dc: jax.Array) -> jax.Array:
+    """[N,3] linear RGB in [0,1] from SH DC."""
+    return jnp.clip(0.5 + SH_C0 * sh_dc, 0.0, 1.0)
+
+
+def rgb_u8_srgb_from_dc(sh_dc: jax.Array) -> jax.Array:
+    """Display RGB with sRGB gamma (reference data_processor.py:321-333)."""
+    lin = rgb_linear_from_dc(sh_dc)
+    return (jnp.power(lin, 1.0 / 2.2) * 255.0).astype(jnp.uint8)
+
+
+def rgb_u8_linear_from_dc(sh_dc: jax.Array) -> jax.Array:
+    """Linear-space u8 RGB used inside binary codecs (reference splat.py:135)."""
+    return jnp.clip((0.5 + SH_C0 * sh_dc) * 255.0, 0.0, 255.0).astype(jnp.uint8)
+
+
+def dc_from_rgb_u8(rgb: jax.Array) -> jax.Array:
+    """Inverse of the linear u8 mapping (reference splat.py:75-77)."""
+    return (rgb.astype(jnp.float32) / 255.0 - 0.5) / SH_C0
+
+
+def add_rgb(cloud: SplatCloud) -> SplatCloud:
+    """Attach display RGB synthesized from DC if missing
+    (reference data_processor.py:233-271)."""
+    if cloud.rgb is not None:
+        return cloud
+    return cloud.replace(rgb=rgb_u8_srgb_from_dc(cloud.sh_dc))
+
+
+def eval_sh(cloud: SplatCloud, dirs: jax.Array, degree: int | None = None) -> jax.Array:
+    """Evaluate view-dependent color for unit view dirs [N,3] -> linear RGB [N,3].
+
+    Used by the differentiable rasterizer; degree defaults to the cloud's
+    active degree. Standard real-SH basis (same convention as Inria 3DGS).
+    """
+    deg = cloud.active_sh_degree if degree is None else degree
+    c = 0.5 + SH_C0 * cloud.sh_dc  # [N,3]
+    if deg == 0:
+        return c
+    x, y, z = dirs[:, 0:1], dirs[:, 1:2], dirs[:, 2:3]
+    rest = cloud.sh_rest  # [N,3,15] channel-major
+    # Basis values [N, dim]
+    b1 = jnp.concatenate([-y, z, -x], axis=1) * SH_C1  # coeffs 0..2
+    c = c + jnp.einsum("ncj,nj->nc", rest[:, :, 0:3], b1)
+    if deg >= 2:
+        xx, yy, zz = x * x, y * y, z * z
+        xy, yz, xz = x * y, y * z, x * z
+        b2 = jnp.concatenate(
+            [
+                SH_C2[0] * xy,
+                SH_C2[1] * yz,
+                SH_C2[2] * (2.0 * zz - xx - yy),
+                SH_C2[3] * xz,
+                SH_C2[4] * (xx - yy),
+            ],
+            axis=1,
+        )
+        c = c + jnp.einsum("ncj,nj->nc", rest[:, :, 3:8], b2)
+    if deg >= 3:
+        xx, yy, zz = x * x, y * y, z * z
+        xy = x * y
+        b3 = jnp.concatenate(
+            [
+                SH_C3[0] * y * (3.0 * xx - yy),
+                SH_C3[1] * xy * z,
+                SH_C3[2] * y * (4.0 * zz - xx - yy),
+                SH_C3[3] * z * (2.0 * zz - 3.0 * xx - 3.0 * yy),
+                SH_C3[4] * x * (4.0 * zz - xx - yy),
+                SH_C3[5] * z * (xx - yy),
+                SH_C3[6] * x * (xx - 3.0 * yy),
+            ],
+            axis=1,
+        )
+        c = c + jnp.einsum("ncj,nj->nc", rest[:, :, 8:15], b3)
+    return c

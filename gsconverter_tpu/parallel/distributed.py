@@ -1,0 +1,205 @@
+"""Multi-chip algorithms: sharded SOR with halo exchange, distributed
+K-Means, depth-ordered sharded rendering.
+
+Reference analogue: none (SURVEY.md §2.4 — the reference is single-process).
+These are the TPU-native designs the north star specifies:
+
+  - **sharded SOR**: global device sort by x-major cell key (XLA distributed
+    sort) so each shard owns a spatially contiguous slab; boundary slabs are
+    exchanged with ring ``ppermute`` (the halo); each shard runs the
+    single-chip grid kernel over [halo | local | halo]; global mu/sigma via
+    ``psum``.
+  - **distributed K-Means**: per-shard MXU assign; centroid sums + counts
+    ``psum``'d across chips each Lloyd iteration.
+  - **sharded render**: splats depth-sorted globally, each shard composites
+    its depth-contiguous chunk into a partial (color, transmittance) image;
+    the over-operator is associative, so shard images fold in shard order
+    after an ``all_gather``.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.experimental.shard_map import shard_map
+
+from ..ops import kmeans as km
+from ..ops import sor as sor_ops
+
+
+# ------------------------------------------------------------- sharded SOR
+
+
+def sharded_sor_mask(
+    pos: jax.Array,
+    mesh: Mesh,
+    k: int = 25,
+    sigma: float = 10.5,
+    halo: int = 4096,
+    axis: str = "data",
+) -> jax.Array:
+    """Keep-mask over globally sharded positions [N,3] (N % n_dev == 0).
+
+    The returned mask is in the ORIGINAL input order and sharded like the
+    input.  ``halo`` is the fixed per-boundary exchange width; boundary
+    cells denser than the halo are truncated (documented approximation, same
+    spirit as the reference's 27-cell ring cutoff).
+    """
+    n = pos.shape[0]
+    n_dev = mesh.devices.size
+    halo = min(halo, n // n_dev)
+
+    # Global spatial sort: x-major key makes shard boundaries x-slabs.
+    mins = jnp.min(pos, axis=0)
+    maxs = jnp.max(pos, axis=0)
+    extent = jnp.where(maxs - mins > 0, maxs - mins, 1.0)
+    tcoord = jnp.clip((pos - mins) / extent * 1023.0, 0, 1023).astype(jnp.int32)
+    key = (tcoord[:, 0] << 20) | (tcoord[:, 1] << 10) | tcoord[:, 2]
+    order = jnp.argsort(key)  # distributed sort under jit
+    spos = pos[order]
+
+    spec = P(axis, None)
+
+    @functools.partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(spec,),
+        out_specs=P(axis),
+        check_vma=False,
+    )
+    def local_sor(block):
+        # ring halo exchange: neighbor shards' boundary slabs
+        left_edge = block[:halo]  # my lowest keys -> send to left neighbor
+        right_edge = block[-halo:]  # my highest keys -> send to right neighbor
+        idx = jax.lax.axis_index(axis)
+        nd = jax.lax.axis_size(axis)
+        # receive right neighbor's left edge (keys just above mine)
+        from_right = jax.lax.ppermute(
+            left_edge, axis, [(i, (i - 1) % nd) for i in range(nd)]
+        )
+        # receive left neighbor's right edge (keys just below mine)
+        from_left = jax.lax.ppermute(
+            right_edge, axis, [(i, (i + 1) % nd) for i in range(nd)]
+        )
+        # mask wrap-around halos at the ends of the ring to +inf sentinels
+        far = 3e18
+        from_left = jnp.where(idx == 0, far, from_left)
+        from_right = jnp.where(idx == nd - 1, far, from_right)
+        ext = jnp.concatenate([from_left, block, from_right], axis=0)
+        md = sor_ops.sor_mean_knn_dists(ext, k=k)[halo : halo + block.shape[0]]
+        # global mean/std via psum
+        s1 = jax.lax.psum(jnp.sum(md), axis)
+        s2 = jax.lax.psum(jnp.sum(md * md), axis)
+        cnt = jax.lax.psum(jnp.asarray(md.shape[0], jnp.float32), axis)
+        mean = s1 / cnt
+        std = jnp.sqrt(jnp.maximum(s2 / cnt - mean * mean, 0.0))
+        return md < mean + sigma * std
+
+    mask_sorted = local_sor(jax.device_put(spos, NamedSharding(mesh, spec)))
+    # unsort to original order
+    return jnp.zeros(n, bool).at[order].set(mask_sorted)
+
+
+# -------------------------------------------------------- distributed kmeans
+
+
+def sharded_kmeans(
+    x: jax.Array,
+    k: int,
+    mesh: Mesh,
+    max_iter: int = 10,
+    seed: int = 0,
+    axis: str = "data",
+):
+    """K-Means over data sharded on the mesh; centroids all-reduced.
+
+    Returns (centroids [K,D] replicated, labels [N] sharded like x).
+    """
+    xs = jax.device_put(x, NamedSharding(mesh, P(axis, None)))
+    key = jax.random.PRNGKey(seed)
+    init = km.init_centroids(x, k, key)  # small; computed replicated
+
+    @functools.partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P(axis, None), P(None, None)),
+        out_specs=(P(None, None), P(axis)),
+        check_vma=False,
+    )
+    def run(xb, c0):
+        def body(c, _):
+            labels = km._assign_xla(xb, c)
+            c, _ = km.update(xb, labels, k, c, axis_name=axis)
+            return c, None
+
+        c, _ = jax.lax.scan(body, c0, None, length=max_iter)
+        return c, km._assign_xla(xb, c)
+
+    return run(xs, init)
+
+
+# ----------------------------------------------------------- sharded render
+
+
+def sharded_render(cloud, cam, mesh: Mesh, axis: str = "data", **kw):
+    """Distributed render: shards composite depth-contiguous splat chunks,
+    partial (rgb, transmittance) images fold in shard order.
+
+    cloud must be padded to n_dev (see sharding.pad_cloud); returns [H,W,3].
+    """
+    from ..render import rasterizer as rz
+    from ..render.project import project_gaussians
+    from ..ops import sh as sh_ops
+
+    # global depth sort (sharded sort under jit)
+    proj = project_gaussians(cloud.pos, cloud.log_scale, cloud.quat, cam)
+    order = jnp.argsort(jnp.where(proj["in_front"], proj["depth"], jnp.inf))
+    sorted_cloud = cloud.select(order)
+
+    spec4 = P(axis, None)
+
+    @functools.partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(
+            spec4, spec4, P(axis, None, None), P(axis), spec4, spec4,
+        ),
+        out_specs=P(None, None, None),
+        check_vma=False,
+    )
+    def run(pos, sh_dc, sh_rest, opacity, log_scale, quat):
+        chunk = cloud.replace(
+            pos=pos, sh_dc=sh_dc, sh_rest=sh_rest, opacity=opacity,
+            log_scale=log_scale, quat=quat, rgb=None, extras={},
+        )
+        # partial render against black bg, plus transmittance image
+        rgb = rz.render(chunk, cam, bg=jnp.zeros(3), **kw)
+        # transmittance = render of pure-white scene against black... cheaper:
+        # alpha image = 1 - T obtained by rendering unit-color splats
+        white = chunk.replace(
+            sh_dc=jnp.full_like(sh_dc, (1.0 - 0.5) / 0.28209479177387814),
+            sh_rest=jnp.zeros_like(sh_rest),
+        )
+        acc = rz.render(white, cam, bg=jnp.zeros(3), sh_degree=0, **kw)
+        trans = 1.0 - jnp.clip(acc[..., :1], 0.0, 1.0)
+        part = jnp.concatenate([rgb, trans], axis=-1)[None]  # [1,H,W,4]
+        parts = jax.lax.all_gather(part, axis, axis=0, tiled=True)  # [D,H,W,4]
+
+        def fold(carry, p):
+            c_rgb, c_t = carry
+            return (c_rgb + c_t * p[..., :3], c_t * p[..., 3:]), None
+
+        (out_rgb, out_t), _ = jax.lax.scan(
+            fold, (jnp.zeros_like(parts[0, ..., :3]), jnp.ones_like(parts[0, ..., 3:])),
+            parts,
+        )
+        return out_rgb
+
+    put = lambda a: jax.device_put(a, NamedSharding(mesh, P(axis, *([None] * (a.ndim - 1)))))
+    return run(
+        put(sorted_cloud.pos), put(sorted_cloud.sh_dc), put(sorted_cloud.sh_rest),
+        put(sorted_cloud.opacity), put(sorted_cloud.log_scale), put(sorted_cloud.quat),
+    )

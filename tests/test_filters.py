@@ -1,0 +1,106 @@
+"""Filter-engine semantics tests (SURVEY.md §2.2 contracts)."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from gsconverter_tpu.ops import filters, sor, density
+from tests.conftest import make_cloud
+
+
+def test_bbox_filter():
+    c = make_cloud(500)
+    out = filters.crop_by_bbox(c, (-1, -1, -1, 1, 1, 1))
+    pos = np.asarray(out.pos)
+    assert np.all(pos >= -1) and np.all(pos <= 1)
+    expected = np.sum(np.all(np.abs(np.asarray(c.pos)) <= 1, axis=1))
+    assert out.n == expected
+
+
+def test_alpha_filter_logit_space():
+    c = make_cloud(500)
+    out = filters.alpha_filter(c, 128)
+    t = 128 / 255.0
+    thresh = np.log(t / (1 - t))
+    assert np.all(np.asarray(out.opacity) >= thresh)
+    assert out.n == np.sum(np.asarray(c.opacity) >= thresh)
+    # limit 255 -> empty (reference data_processor.py:200-201)
+    assert filters.alpha_filter(c, 255).n == 0
+    # limit 0 -> no-op
+    assert filters.alpha_filter(c, 0).n == c.n
+
+
+def test_sor_removes_outliers():
+    r = np.random.default_rng(0)
+    dense = r.normal(0, 0.5, (2000, 3)).astype(np.float32)
+    flyers = r.normal(0, 0.5, (20, 3)).astype(np.float32) + 50.0
+    pos = jnp.asarray(np.concatenate([dense, flyers]))
+    mask = np.asarray(sor.sor_mask(pos, k=15, sigma=2.0))
+    assert mask[:2000].mean() > 0.93  # dense survives
+    assert mask[2000:].mean() < 0.2  # flyers dropped
+
+
+def test_sor_intensity_mapping():
+    # reference data_processor.py:131-134
+    assert sor.intensity_to_params(1) == (10, 20.0)
+    k, f = sor.intensity_to_params(10)
+    assert k == 50 and abs(f - 3.0) < 1e-9
+    k, f = sor.intensity_to_params(5)
+    assert k == 27  # int(10 + 4*40/9) = int(27.78)
+
+
+def test_density_filter_keeps_largest_cluster():
+    r = np.random.default_rng(1)
+    big = r.uniform(0, 4, (3000, 3)).astype(np.float32)
+    small = r.uniform(0, 1, (100, 3)).astype(np.float32) + 50.0
+    pos = np.concatenate([big, small])
+    c = make_cloud(3100)
+    c = c.replace(pos=jnp.asarray(pos))
+    out = filters.density_filter(c, voxel_size=1.0, threshold_percentage=0.32)
+    kept = np.asarray(out.pos)
+    assert out.n >= 2900
+    assert np.all(kept[:, 0] < 10)  # the distant blob is gone
+
+
+def test_density_multicluster():
+    r = np.random.default_rng(2)
+    a = r.uniform(0, 4, (2000, 3)).astype(np.float32)
+    b = r.uniform(0, 4, (1500, 3)).astype(np.float32) + 50.0
+    pos = np.concatenate([a, b])
+    c = make_cloud(3500).replace(pos=jnp.asarray(pos))
+    single = filters.density_filter(c, 1.0, 0.2, keep_multicluster=False)
+    multi = filters.density_filter(c, 1.0, 0.2, keep_multicluster=True)
+    assert single.n < multi.n
+    assert multi.n >= 3300
+
+
+def test_density_sensitivity_mapping():
+    # reference data_processor.py:24-28
+    v, t = density.sensitivity_to_params(0.5)
+    assert abs(v - 1.1) < 1e-9 and abs(t - 0.55) < 1e-9
+    v, t = density.sensitivity_to_params(1.0)
+    assert abs(v - 0.2) < 1e-9
+
+
+def test_sh_cap_and_active_degree():
+    from gsconverter_tpu.ops import sh
+
+    c = make_cloud(100, sh_degree=3)
+    assert sh.detect_active_degree(c) == 3
+    capped = sh.cap_degree(c, 1)
+    assert sh.detect_active_degree(capped) == 1
+    assert np.all(np.asarray(capped.sh_rest)[:, :, 3:] == 0)
+    np.testing.assert_allclose(
+        np.asarray(capped.sh_rest)[:, :, :3], np.asarray(c.sh_rest)[:, :, :3]
+    )
+
+
+def test_rgb_synthesis_srgb_gamma():
+    from gsconverter_tpu.ops import sh
+    from gsconverter_tpu.cloud import SH_C0
+
+    c = make_cloud(100)
+    out = sh.add_rgb(c)
+    expect = (
+        np.clip(0.5 + SH_C0 * np.asarray(c.sh_dc), 0, 1) ** (1 / 2.2) * 255
+    ).astype(np.uint8)
+    np.testing.assert_array_equal(np.asarray(out.rgb), expect)

@@ -1,0 +1,54 @@
+"""K-Means op tests: XLA vs Pallas-interpret parity + clustering quality."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from gsconverter_tpu.ops import kmeans as km
+
+
+def test_assign_parity_pallas_interpret():
+    r = np.random.default_rng(0)
+    x = jnp.asarray(r.normal(0, 1, (700, 9)).astype(np.float32))
+    c = jnp.asarray(r.normal(0, 1, (37, 9)).astype(np.float32))
+    a = np.asarray(km.assign(x, c, impl="xla"))
+    b = np.asarray(km.assign(x, c, impl="pallas_interpret"))
+    np.testing.assert_array_equal(a, b)
+
+
+def test_assign_correctness_bruteforce():
+    r = np.random.default_rng(1)
+    x = r.normal(0, 1, (200, 3)).astype(np.float32)
+    c = r.normal(0, 1, (17, 3)).astype(np.float32)
+    expect = np.argmin(((x[:, None, :] - c[None, :, :]) ** 2).sum(-1), axis=1)
+    got = np.asarray(km.assign(jnp.asarray(x), jnp.asarray(c), impl="xla"))
+    np.testing.assert_array_equal(got, expect)
+
+
+def test_kmeans_recovers_clusters():
+    r = np.random.default_rng(2)
+    centers = np.array([[0, 0], [10, 0], [0, 10], [10, 10]], np.float32)
+    x = np.concatenate(
+        [r.normal(0, 0.3, (250, 2)).astype(np.float32) + c for c in centers]
+    )
+    c, labels = km.kmeans(x, 4, max_iter=10, seed=0)
+    c = np.asarray(c)
+    # every true center has a found centroid within 0.3
+    for t in centers:
+        assert np.min(np.linalg.norm(c - t, axis=1)) < 0.3
+    assert len(np.unique(np.asarray(labels))) == 4
+
+
+def test_kmeans_k_ge_n():
+    x = np.random.default_rng(0).normal(0, 1, (10, 2)).astype(np.float32)
+    c, l = km.kmeans(x, 20)
+    np.testing.assert_allclose(np.asarray(c), x)
+    np.testing.assert_array_equal(np.asarray(l), np.arange(10))
+
+
+def test_kmeans_scalar_1d():
+    """The SOG scalar-codebook path: D=1, K=256."""
+    r = np.random.default_rng(3)
+    x = r.normal(-4, 1, 5000).astype(np.float32)
+    c, labels = km.kmeans(x, 256, max_iter=10)
+    recon = np.asarray(c).reshape(-1)[np.asarray(labels)]
+    assert np.mean(np.abs(recon - x)) < 0.05
