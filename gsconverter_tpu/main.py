@@ -160,6 +160,9 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def main(argv: list[str] | None = None) -> int:
+    from .utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
     parser = build_parser()
     args = parser.parse_args(argv)
     config.DEBUG = args.debug

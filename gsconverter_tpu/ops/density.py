@@ -3,15 +3,16 @@
 Reference contract (processing/data_processor.py:11-117): voxelize at
 floor(coords/voxel_size); count per voxel; keep voxels with
 count >= N * threshold%/100; 6-connected BFS over dense voxels -> clusters;
-keep the largest cluster (by voxel count), or every cluster >= 5% of the
-largest when ``keep_multicluster``.  Sensitivity slider s in [0,1] maps to
-voxel = max(0.1, 2.0 - 1.8 s), threshold = 0.1 + 0.9 s
+keep the largest cluster (by voxel count, first wins on ties), or every
+cluster >= 5% of the largest when ``keep_multicluster``.  Sensitivity slider
+s in [0,1] maps to voxel = max(0.1, 2.0 - 1.8 s), threshold = 0.1 + 0.9 s
 (data_processor.py:24-28).
 
 TPU-first redesign (SURVEY.md §7.4 item 4): the reference's Python BFS is
 inherently serial; we label clusters with iterative min-label propagation +
 pointer jumping over the 6-neighbor voxel graph — O(log diameter) rounds of
-fully-vectorized gathers inside a ``lax.while_loop``.
+fully-vectorized gathers inside a ``lax.while_loop``.  The splat axis is
+padded to power-of-two buckets (one compile per bucket).
 
 Grid keys are exact 30-bit packs (1024 cells/axis); larger grids are
 coarsened to fit (documented divergence — the reference used unbounded
@@ -25,8 +26,11 @@ import functools
 import jax
 import jax.numpy as jnp
 
+from .padding import PAD_POS, next_pow2, pad_rows
+
 GRID_BITS = 10
 GRID_MAX = (1 << GRID_BITS) - 1
+KEY_SENTINEL = jnp.int32(0x7FFFFFFF)
 
 
 def sensitivity_to_params(sensitivity: float) -> tuple[float, float]:
@@ -36,37 +40,44 @@ def sensitivity_to_params(sensitivity: float) -> tuple[float, float]:
 
 
 @functools.partial(jax.jit, static_argnames=("keep_multicluster",))
-def density_mask(
+def _density_mask_padded(
     pos: jax.Array,
-    voxel_size: float,
-    threshold_percentage: float,
+    n_valid: jax.Array,
+    voxel_size: jax.Array,
+    threshold_percentage: jax.Array,
     keep_multicluster: bool = False,
 ) -> jax.Array:
-    """Keep-mask for the density filter over positions [N,3]."""
     n = pos.shape[0]
+    valid = jnp.arange(n) < n_valid
     vox = jnp.floor(pos / voxel_size)
-    base = jnp.min(vox, axis=0)
+    base = jnp.min(jnp.where(valid[:, None], vox, jnp.float32(PAD_POS)), axis=0)
     ci = jnp.clip(vox - base, 0, GRID_MAX).astype(jnp.int32)
     keys = (ci[:, 0] << (2 * GRID_BITS)) | (ci[:, 1] << GRID_BITS) | ci[:, 2]
+    keys = jnp.where(valid, keys, KEY_SENTINEL)
 
     # unique occupied voxels + per-point inverse + counts (device sort)
     skeys = jnp.sort(keys)
     is_first = jnp.concatenate([jnp.ones(1, bool), skeys[1:] != skeys[:-1]])
-    voxel_id_sorted = jnp.cumsum(is_first) - 1  # [N] dense ids in sorted order
+    voxel_id_sorted = jnp.cumsum(is_first) - 1
     m = n  # padded voxel table size (<= n occupied voxels)
     uniq_keys = jax.ops.segment_max(
         jnp.where(is_first, skeys, -1), voxel_id_sorted, num_segments=m
     )
-    n_vox = voxel_id_sorted[-1] + 1
-    counts = jax.ops.segment_sum(jnp.ones(n, jnp.int32), voxel_id_sorted, num_segments=m)
+    sv = skeys != KEY_SENTINEL
+    counts = jax.ops.segment_sum(
+        sv.astype(jnp.int32), voxel_id_sorted, num_segments=m
+    )
 
     # per-point voxel id in ORIGINAL order
     order = jnp.argsort(keys)
     inv = jnp.zeros(n, jnp.int32).at[order].set(voxel_id_sorted.astype(jnp.int32))
 
-    min_points = (jnp.asarray(threshold_percentage) / 100.0 * n).astype(jnp.int32)
-    vox_valid = jnp.arange(m) < n_vox
-    dense = (counts >= min_points) & vox_valid
+    min_points = (threshold_percentage / 100.0 * n_valid.astype(jnp.float32)).astype(jnp.int32)
+    # valid = a real occupied voxel: empty segments yield segment_max's
+    # identity (INT32_MIN) and the pad group carries KEY_SENTINEL
+    vox_valid = (uniq_keys >= 0) & (uniq_keys != KEY_SENTINEL)
+    # match the reference's int() truncation then >= comparison
+    dense = (counts >= min_points) & vox_valid & (counts > 0)
 
     # --- 6-neighbor adjacency among dense voxels via searchsorted ---
     ux = uniq_keys >> (2 * GRID_BITS)
@@ -78,33 +89,28 @@ def density_mask(
     nkeys = (
         (ncoord[..., 0] << (2 * GRID_BITS)) | (ncoord[..., 1] << GRID_BITS) | ncoord[..., 2]
     )
-    # uniq_keys[:n_vox] is sorted ascending; padded tail is -1-filled via
-    # segment_max over empty segments -> mask with vox_valid and use a large
-    # sentinel so searchsorted stays within the valid prefix.
-    search_keys = jnp.where(vox_valid, uniq_keys, jnp.int32(0x7FFFFFFF))
+    search_keys = jnp.where(vox_valid, uniq_keys, KEY_SENTINEL)  # stays ascending
     loc = jnp.searchsorted(search_keys, nkeys.reshape(-1)).reshape(nkeys.shape)
     loc = jnp.clip(loc, 0, m - 1)
     found = (search_keys[loc] == nkeys) & in_grid
-    neigh_dense = dense[loc] & found  # neighbor exists and is dense
+    neigh_dense = dense[loc] & found
 
     # --- min-label propagation + pointer jumping ---
-    labels0 = jnp.where(dense, jnp.arange(m, dtype=jnp.int32), m)  # m = "no label"
+    labels0 = jnp.where(dense, jnp.arange(m, dtype=jnp.int32), m)
     neigh_idx = jnp.where(neigh_dense, loc, m)  # [m,6]
 
     def body(state):
         labels, _ = state
         padded = jnp.concatenate([labels, jnp.array([m], jnp.int32)])
-        nl = jnp.min(padded[neigh_idx], axis=1)  # best neighbor label
+        nl = jnp.min(padded[neigh_idx], axis=1)
         new = jnp.where(dense, jnp.minimum(labels, nl), labels)
-        # pointer jumping: label <- label of my label's voxel
         new = jnp.where(dense, jnp.minimum(new, padded[new]), new)
         new = jnp.where(dense, jnp.minimum(new, padded[padded[new]]), new)
         return new, jnp.any(new != labels)
 
-    def cond(state):
-        return state[1]
-
-    labels, _ = jax.lax.while_loop(cond, body, (labels0, jnp.array(True)))
+    labels, _ = jax.lax.while_loop(
+        lambda s: s[1], body, (labels0, jnp.array(True))
+    )
 
     # --- cluster sizes in voxels (reference counts voxels, not points) ---
     sizes = jax.ops.segment_sum(
@@ -119,4 +125,26 @@ def density_mask(
         keep_cluster = jnp.arange(m) == jnp.argmax(sizes)
     vox_keep = dense & keep_cluster[jnp.clip(labels, 0, m - 1)]
 
-    return vox_keep[inv]
+    return vox_keep[inv] & valid
+
+
+def density_mask(
+    pos: jax.Array,
+    voxel_size: float,
+    threshold_percentage: float,
+    keep_multicluster: bool = False,
+) -> jax.Array:
+    """Keep-mask for the density filter over positions [N,3].
+
+    Pads to a power-of-two bucket internally — one compile per bucket.
+    """
+    n = pos.shape[0]
+    p = next_pow2(n)
+    posp = pad_rows(pos, p, PAD_POS)
+    return _density_mask_padded(
+        posp,
+        jnp.int32(n),
+        jnp.float32(voxel_size),
+        jnp.float32(threshold_percentage),
+        keep_multicluster=keep_multicluster,
+    )[:n]

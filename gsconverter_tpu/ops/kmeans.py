@@ -145,10 +145,17 @@ def assign(x: jax.Array, c: jax.Array, impl: str = "auto") -> jax.Array:
 
 
 def update(x: jax.Array, labels: jax.Array, k: int, prev: jax.Array,
-           axis_name: str | None = None):
-    """New centroids = mean of assigned points; empty clusters keep prev."""
-    sums = jax.ops.segment_sum(x, labels, num_segments=k)
-    counts = jax.ops.segment_sum(jnp.ones_like(labels, jnp.float32), labels, num_segments=k)
+           axis_name: str | None = None, valid: jax.Array | None = None):
+    """New centroids = mean of assigned points; empty clusters keep prev.
+
+    ``valid`` masks out padded rows (their labels route to a discard bin).
+    """
+    if valid is not None:
+        labels = jnp.where(valid, labels, k)
+    sums = jax.ops.segment_sum(x, labels, num_segments=k + 1)[:k]
+    counts = jax.ops.segment_sum(
+        jnp.ones_like(labels, jnp.float32), labels, num_segments=k + 1
+    )[:k]
     if axis_name is not None:
         sums = jax.lax.psum(sums, axis_name)
         counts = jax.lax.psum(counts, axis_name)
@@ -160,19 +167,23 @@ def update(x: jax.Array, labels: jax.Array, k: int, prev: jax.Array,
 # ------------------------------------------------------------------ driver
 
 
-def init_centroids(x: jax.Array, k: int, key: jax.Array) -> jax.Array:
+def init_centroids(x: jax.Array, k: int, key: jax.Array,
+                   valid: jax.Array | None = None) -> jax.Array:
     """k-means++ D^2-sampling init.
 
     Quality improvement over the reference's uniform random choice
     (gpu_ops.py:182) — avoids the merged/split-cluster local minima that
     plague Lloyd with fixed iteration counts.  O(k*N) via a running
-    min-distance accumulator in a fori_loop.
+    min-distance accumulator in a fori_loop.  ``valid`` masks padded rows
+    out of the sampling distribution.
     """
     n = x.shape[0]
     k0, key = jax.random.split(key)
-    first = x[jax.random.randint(k0, (), 0, n)]
+    first = x[0]
     centroids = jnp.zeros((k, x.shape[1]), x.dtype).at[0].set(first)
     d2 = jnp.sum((x - first[None, :]) ** 2, axis=1)
+    if valid is not None:
+        d2 = jnp.where(valid, d2, 0.0)
     keys = jax.random.split(key, k)
 
     def body(i, state):
@@ -181,18 +192,23 @@ def init_centroids(x: jax.Array, k: int, key: jax.Array) -> jax.Array:
         idx = jax.random.categorical(keys[i], jnp.log(jnp.maximum(p, 1e-30)))
         c = x[idx]
         centroids = centroids.at[i].set(c)
-        d2 = jnp.minimum(d2, jnp.sum((x - c[None, :]) ** 2, axis=1))
-        return centroids, d2
+        nd2 = jnp.minimum(d2, jnp.sum((x - c[None, :]) ** 2, axis=1))
+        if valid is not None:
+            nd2 = jnp.where(valid, nd2, 0.0)
+        return centroids, nd2
 
     centroids, _ = jax.lax.fori_loop(1, k, body, (centroids, d2))
     return centroids
 
 
 @functools.partial(jax.jit, static_argnames=("k", "iters", "impl"))
-def _kmeans_jit(x, init, k, iters, impl):
+def _kmeans_jit(x, n_valid, seed, k, iters, impl):
+    valid = jnp.arange(x.shape[0]) < n_valid
+    init = init_centroids(x, k, jax.random.PRNGKey(seed), valid=valid)
+
     def body(c, _):
         labels = assign(x, c, impl=impl)
-        c, _ = update(x, labels, k, c)
+        c, _ = update(x, labels, k, c, valid=valid)
         return c, None
 
     c, _ = jax.lax.scan(body, init, None, length=iters)
@@ -209,15 +225,21 @@ def kmeans(
     """Lloyd iterations with fixed ``max_iter`` (reference gpu_ops.kmeans contract).
 
     Returns (centroids [K,D] f32, labels [N] i32). If k >= N, returns the
-    data itself as centroids (reference gpu_ops.py:30-31).
+    data itself as centroids (reference gpu_ops.py:30-31).  The point axis
+    is padded to a power-of-two bucket — one compile per (bucket, D, k).
     """
+    from .padding import PAD_POS, next_pow2, pad_rows
+
     x = jnp.asarray(data, jnp.float32)
     if x.ndim == 1:
         x = x[:, None]
     n = x.shape[0]
     if k >= n:
         return np.asarray(x), np.arange(n, dtype=np.int32)
-    key = jax.random.PRNGKey(seed)
-    init = init_centroids(x, k, key)
-    c, labels = _kmeans_jit(x, init, int(k), int(max_iter), _resolve_impl(x, impl))
-    return c, labels
+    p = next_pow2(n)
+    xp = pad_rows(x, p, PAD_POS)
+    c, labels = _kmeans_jit(
+        xp, jnp.int32(n), jnp.uint32(seed), int(k), int(max_iter),
+        _resolve_impl(x, impl),
+    )
+    return c, labels[:n]

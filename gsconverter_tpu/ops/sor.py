@@ -6,12 +6,21 @@ nearest neighbors (K capped at 50), keep points with
 ``mean_dist < mean + sigma * std``.  Intensity slider i in [1,10] maps to
 K = int(10 + (i-1)*40/9), sigma = 20.0 - (i-1)*17/9 (data_processor.py:131-134).
 
-TPU-first redesign (SURVEY.md §7.3): the reference's spatial *hash* merges
-distant cells on collision; we instead clamp the grid to 1024 cells/axis and
-pack exact 30-bit cell keys — collision-free, same statistical contract.
-Binning is a device sort; per-point candidates are gathered as fixed-shape
-[27*cap] windows (cap = 2x target occupancy) and reduced with ``top_k`` —
-everything static-shaped and fused by XLA, chunked over N to bound memory.
+TPU-first redesign (SURVEY.md §7.3):
+  - the reference's spatial *hash* merges distant cells on collision; we
+    clamp the grid to 1024 cells/axis and pack exact 30-bit cell keys —
+    collision-free, same statistical contract;
+  - cell size is density-adaptive (median Morton-neighbor spacing + one
+    occupancy refinement), where the reference's bbox-volume formula
+    degenerates to O(N^2) when outliers inflate the bbox;
+  - the splat axis is padded to power-of-two buckets with a dynamic valid
+    count, so each (bucket, k) pair compiles exactly once and is reused for
+    every scene and filter stage;
+  - neighbors beyond the 27-cell ring are unseen (same approximation as the
+    reference); unlike the reference — which averages only what it found and
+    returns 0.0 for isolated points, silently KEEPING them
+    (gpu_ops.py:170-174) — missing neighbors are filled at the ring-reach
+    lower bound ``cell``, so isolated flyers rank as outliers.
 
 Known divergence (documented, SURVEY.md §2.2): the reference's CPU fallback
 computes the mask but never applies it (data_processor.py:180-182).  We
@@ -24,10 +33,12 @@ import functools
 
 import jax
 import jax.numpy as jnp
-import numpy as np
+
+from .padding import PAD_POS, next_pow2, pad_rows
 
 GRID_BITS = 10  # 1024 cells per axis
 GRID_MAX = (1 << GRID_BITS) - 1
+KEY_SENTINEL = jnp.int32(0x7FFFFFFF)
 TARGET_PER_CELL = 32  # reference gpu_ops.py:209
 MAX_K = 50  # reference gpu_ops.py:119,244
 DEFAULT_CAP = 64  # candidates gathered per neighbor cell (2x target occupancy)
@@ -40,42 +51,43 @@ def intensity_to_params(intensity: float) -> tuple[int, float]:
     return k, factor
 
 
-def _cell_keys(pos, mins, cell):
+def _cell_keys(pos, valid, mins, cell):
     ci = jnp.clip(jnp.floor((pos - mins) / cell), 0, GRID_MAX).astype(jnp.int32)
     keys = (ci[:, 0] << (2 * GRID_BITS)) | (ci[:, 1] << GRID_BITS) | ci[:, 2]
-    return ci, keys
+    return ci, jnp.where(valid, keys, KEY_SENTINEL)
 
 
-def _adaptive_cell_size(pos, mins, extent):
-    """Density-adaptive cell size, fully traced.
-
-    The reference derives cell size from bbox volume (gpu_ops.py:203-213),
-    which degenerates when outliers inflate the bbox: every real point lands
-    in one cell and the kernel devolves to O(N^2).  We instead estimate the
-    dominant point spacing from median Morton-neighbor distance (one sort),
-    then refine once so median cell occupancy hits the 32-points/cell target.
-    """
+def _adaptive_cell_size(pos, valid, mins, extent):
+    """Density-adaptive cell size over the valid points, fully traced."""
     n = pos.shape[0]
     rng = jnp.where(extent > 0, extent, 1.0)
-    t = (pos - mins) / rng
-    g = jnp.clip(t * 1024.0, 0, 1023).astype(jnp.uint32)
+    t = jnp.clip((pos - mins) / rng, 0.0, 1.0)
+    g = (t * 1023.0).astype(jnp.uint32)
     from .quant import morton3_u32
 
-    mkey = morton3_u32(g[:, 0], g[:, 1], g[:, 2])
-    mpos = pos[jnp.argsort(mkey)]
+    mkey = jnp.where(
+        valid, morton3_u32(g[:, 0], g[:, 1], g[:, 2]), jnp.uint32(0xFFFFFFFF)
+    )
+    morder = jnp.argsort(mkey)
+    mpos = pos[morder]
+    mvalid = valid[morder]
     gaps = jnp.linalg.norm(mpos[1:] - mpos[:-1], axis=1)
-    spacing = jnp.median(gaps)
+    gap_ok = mvalid[1:] & mvalid[:-1]
+    spacing = jnp.nanmedian(jnp.where(gap_ok, gaps, jnp.nan))
+    spacing = jnp.where(jnp.isnan(spacing), 1.0, spacing)
     cell = jnp.maximum(spacing * TARGET_PER_CELL ** (1.0 / 3.0), 1e-4)
     cell = jnp.maximum(cell, jnp.max(extent) / GRID_MAX)
 
     # one occupancy-driven refinement toward the 32/cell target
-    _, keys = _cell_keys(pos, mins, cell)
+    _, keys = _cell_keys(pos, valid, mins, cell)
     sk = jnp.sort(keys)
     first = jnp.concatenate([jnp.ones(1, bool), sk[1:] != sk[:-1]])
     cid = jnp.cumsum(first) - 1
-    occ = jax.ops.segment_sum(jnp.ones(n, jnp.float32), cid, num_segments=n)
-    per_point_occ = occ[cid]  # in sorted order; distribution is order-free
-    occ_med = jnp.median(per_point_occ)
+    sv = sk != KEY_SENTINEL
+    occ = jax.ops.segment_sum(sv.astype(jnp.float32), cid, num_segments=n)
+    per_point_occ = occ[cid]
+    occ_med = jnp.nanmedian(jnp.where(sv, per_point_occ, jnp.nan))
+    occ_med = jnp.where(jnp.isnan(occ_med), 1.0, occ_med)
     factor = jnp.clip(
         (TARGET_PER_CELL / jnp.maximum(occ_med, 1.0)) ** (1.0 / 3.0), 0.25, 4.0
     )
@@ -83,38 +95,34 @@ def _adaptive_cell_size(pos, mins, extent):
     return jnp.maximum(cell, 1e-4)
 
 
-@functools.partial(jax.jit, static_argnames=("k", "cap", "block"))
-def sor_mean_knn_dists(
-    pos: jax.Array, k: int = 25, cap: int = DEFAULT_CAP, block: int = 2048
+def _sor_md_impl(
+    pos: jax.Array, valid: jax.Array, k: int, cap: int, block: int
 ) -> jax.Array:
-    """Mean distance to the <=k nearest neighbors for every point [N,3].
+    """Mean-KNN distance per point; ``valid`` marks real candidate points.
 
-    Neighbors beyond the 27-cell ring are unseen (same approximation as the
-    reference kernel); unlike the reference — which averages only what it
-    found and returns 0.0 for isolated points, silently KEEPING them
-    (gpu_ops.py:170-174) — missing neighbors are filled at the ring-reach
-    lower bound ``cell``, so isolated flyers rank as outliers.
+    Rows with valid=False get meaningless values — callers mask them out.
     """
     k = min(int(k), MAX_K)
     n = pos.shape[0]
 
-    mins = jnp.min(pos, axis=0)
-    maxs = jnp.max(pos, axis=0)
+    big = jnp.float32(PAD_POS)
+    mins = jnp.min(jnp.where(valid[:, None], pos, big), axis=0)
+    maxs = jnp.max(jnp.where(valid[:, None], pos, -big), axis=0)
     extent = maxs - mins
-    cell = _adaptive_cell_size(pos, mins, extent)
+    cell = _adaptive_cell_size(pos, valid, mins, extent)
 
-    ci, keys = _cell_keys(pos, mins, cell)
+    ci, keys = _cell_keys(pos, valid, mins, cell)
     order = jnp.argsort(keys)
     skeys = keys[order]
     spos = pos[order]
+    svalid = valid[order]
+    ci_sorted = ci[order]
 
-    # --- neighbor-cell offsets (static [27]) ---
     d = jnp.arange(-1, 2)
     offs = jnp.stack(jnp.meshgrid(d, d, d, indexing="ij"), axis=-1).reshape(27, 3)
 
     pad = (-n) % block
     spos_p = jnp.pad(spos, ((0, pad), (0, 0)))
-    ci_sorted = ci[order]
     ci_p = jnp.pad(ci_sorted, ((0, pad), (0, 0)))
 
     def one_block(args):
@@ -125,24 +133,22 @@ def sor_mean_knn_dists(
             (ncells[..., 0] << (2 * GRID_BITS))
             | (ncells[..., 1] << GRID_BITS)
             | ncells[..., 2]
-        )  # [B,27]
+        )
         start = jnp.searchsorted(skeys, nkeys.reshape(-1), side="left").reshape(nkeys.shape)
         end = jnp.searchsorted(skeys, nkeys.reshape(-1), side="right").reshape(nkeys.shape)
-        # fixed-cap candidate windows
         idx = start[..., None] + jnp.arange(cap)[None, None, :]  # [B,27,cap]
-        valid = (idx < end[..., None]) & valid_cell[..., None]
+        ok = (idx < end[..., None]) & valid_cell[..., None]
         idx = jnp.clip(idx, 0, n - 1).reshape(bpos.shape[0], 27 * cap)
-        valid = valid.reshape(bpos.shape[0], 27 * cap)
+        ok = ok.reshape(bpos.shape[0], 27 * cap) & svalid[idx]
         cand = spos[idx]  # [B, 27*cap, 3]
         diff = cand - bpos[:, None, :]
         d2 = jnp.sum(diff * diff, axis=-1)
-        d2 = jnp.where(valid & (d2 > 1e-12), d2, jnp.inf)  # drop self & invalid
-        neg_top, _ = jax.lax.top_k(-d2, k)  # k smallest
+        d2 = jnp.where(ok & (d2 > 1e-12), d2, jnp.inf)  # drop self & invalid
+        neg_top, _ = jax.lax.top_k(-d2, k)
         dk2 = -neg_top
-        ok = jnp.isfinite(dk2)
-        dist = jnp.sqrt(jnp.where(ok, dk2, 0.0))
-        cnt = jnp.sum(ok, axis=1)
-        # fill unfound neighbors at the ring-reach lower bound `cell`
+        found = jnp.isfinite(dk2)
+        dist = jnp.sqrt(jnp.where(found, dk2, 0.0))
+        cnt = jnp.sum(found, axis=1)
         fill = (k - cnt).astype(jnp.float32) * cell
         return (jnp.sum(dist, axis=1) + fill) / k
 
@@ -151,13 +157,42 @@ def sor_mean_knn_dists(
         one_block, (spos_p.reshape(nb, block, 3), ci_p.reshape(nb, block, 3))
     ).reshape(-1)[:n]
 
-    # unsort back to input order
     return jnp.zeros(n, jnp.float32).at[order].set(means_sorted)
 
 
+_sor_md_masked = functools.partial(jax.jit, static_argnames=("k", "cap", "block"))(
+    _sor_md_impl
+)
+
+
+def sor_mean_knn_dists(pos: jax.Array, k: int = 25, cap: int = DEFAULT_CAP,
+                       block: int = 2048) -> jax.Array:
+    """Mean distance to the <=k nearest neighbors for every point [N,3]."""
+    n = pos.shape[0]
+    p = next_pow2(n)
+    posp = pad_rows(pos, p, PAD_POS)
+    valid = jnp.arange(p) < n
+    return _sor_md_masked(posp, valid, int(k), cap, block)[:n]
+
+
 @functools.partial(jax.jit, static_argnames=("k",))
+def _sor_mask_padded(pos, n_valid, k: int, sigma):
+    p = pos.shape[0]
+    valid = jnp.arange(p) < n_valid
+    md = _sor_md_impl(pos, valid, k, DEFAULT_CAP, 2048)
+    cnt = n_valid.astype(jnp.float32)
+    mean = jnp.sum(jnp.where(valid, md, 0.0)) / cnt
+    var = jnp.sum(jnp.where(valid, (md - mean) ** 2, 0.0)) / cnt
+    thresh = mean + sigma * jnp.sqrt(jnp.maximum(var, 0.0))
+    return (md < thresh) & valid
+
+
 def sor_mask(pos: jax.Array, k: int, sigma: float) -> jax.Array:
-    """Keep-mask: mean_knn_dist < mean + sigma * std (reference gpu_ops.py:259-263)."""
-    md = sor_mean_knn_dists(pos, k=k)
-    thresh = jnp.mean(md) + sigma * jnp.std(md)
-    return md < thresh
+    """Keep-mask: mean_knn_dist < mean + sigma * std (reference gpu_ops.py:259-263).
+
+    Pads to a power-of-two bucket internally — one compile per (bucket, k).
+    """
+    n = pos.shape[0]
+    p = next_pow2(n)
+    posp = pad_rows(pos, p, PAD_POS)
+    return _sor_mask_padded(posp, jnp.int32(n), min(int(k), MAX_K), jnp.float32(sigma))[:n]

@@ -24,7 +24,7 @@ import functools
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from ..ops import kmeans as km
 from ..ops import sor as sor_ops
@@ -71,6 +71,8 @@ def sharded_sor_mask(
         check_vma=False,
     )
     def local_sor(block):
+        from ..ops.padding import PAD_POS, next_pow2, pad_rows
+
         # ring halo exchange: neighbor shards' boundary slabs
         left_edge = block[:halo]  # my lowest keys -> send to left neighbor
         right_edge = block[-halo:]  # my highest keys -> send to right neighbor
@@ -84,16 +86,22 @@ def sharded_sor_mask(
         from_left = jax.lax.ppermute(
             right_edge, axis, [(i, (i + 1) % nd) for i in range(nd)]
         )
-        # mask wrap-around halos at the ends of the ring to +inf sentinels
-        far = 3e18
-        from_left = jnp.where(idx == 0, far, from_left)
-        from_right = jnp.where(idx == nd - 1, far, from_right)
+        b = block.shape[0]
         ext = jnp.concatenate([from_left, block, from_right], axis=0)
-        md = sor_ops.sor_mean_knn_dists(ext, k=k)[halo : halo + block.shape[0]]
+        # wrap-around halos at the ring ends are invalid candidates
+        valid = jnp.concatenate([
+            jnp.broadcast_to(idx != 0, (halo,)),
+            jnp.ones(b, bool),
+            jnp.broadcast_to(idx != nd - 1, (halo,)),
+        ])
+        p = next_pow2(ext.shape[0])
+        ext = pad_rows(ext, p, PAD_POS)
+        valid = pad_rows(valid, p, False)
+        md = sor_ops._sor_md_masked(ext, valid, min(k, 50), 64, 2048)[halo : halo + b]
         # global mean/std via psum
         s1 = jax.lax.psum(jnp.sum(md), axis)
         s2 = jax.lax.psum(jnp.sum(md * md), axis)
-        cnt = jax.lax.psum(jnp.asarray(md.shape[0], jnp.float32), axis)
+        cnt = jax.lax.psum(jnp.asarray(b, jnp.float32), axis)
         mean = s1 / cnt
         std = jnp.sqrt(jnp.maximum(s2 / cnt - mean * mean, 0.0))
         return md < mean + sigma * std

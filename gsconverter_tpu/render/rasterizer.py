@@ -51,6 +51,7 @@ def render(
     tw, th = w // TILE, h // TILE
     n_tiles = tw * th
     n = cloud.pos.shape[0]
+    max_per_tile = min(max_per_tile, n)
     if bg is None:
         bg = jnp.zeros(3)
 

@@ -47,8 +47,16 @@ class StageTimer:
     @contextlib.contextmanager
     def stage(self, name: str, n_items: int | None = None):
         t0 = time.perf_counter()
+        ctx = contextlib.nullcontext()
         try:
-            yield
+            import jax
+
+            ctx = jax.profiler.TraceAnnotation(f"gsconverter/{name}")
+        except Exception:
+            pass
+        try:
+            with ctx:
+                yield
         finally:
             dt = time.perf_counter() - t0
             self.records.append((name, dt, n_items))

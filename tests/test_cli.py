@@ -1,0 +1,109 @@
+"""End-to-end CLI + Converter pipeline tests (SURVEY.md §3.1 call stack)."""
+
+import os
+
+import numpy as np
+import pytest
+
+from gsconverter_tpu.converter import Converter, convert, detect_format
+from gsconverter_tpu.formats import get_handler
+from gsconverter_tpu.main import main
+from tests.conftest import make_cloud
+
+
+@pytest.fixture
+def ply_file(tmp_path):
+    c = make_cloud(800, sh_degree=2)
+    path = str(tmp_path / "scene.ply")
+    get_handler("3dgs").write(c, path)
+    return path
+
+
+def test_detect_format(tmp_path, ply_file):
+    assert detect_format(ply_file) == "3dgs"
+    c = make_cloud(100, rgb=True)
+    cc = str(tmp_path / "cc.ply")
+    get_handler("cc").write(c, cc)
+    assert detect_format(cc) == "cc"
+    cp = str(tmp_path / "comp.ply")
+    get_handler("compressed_ply").write(c, cp)
+    assert detect_format(cp) == "compressed_ply"
+    for fmt, ext in [("splat", ".splat"), ("spz", ".spz"), ("parquet", ".parquet")]:
+        p = str(tmp_path / ("x" + ext))
+        get_handler(fmt).write(make_cloud(50, sh_degree=0, rgb=True), p)
+        assert detect_format(p) == fmt
+
+
+def test_converter_pipeline_with_filters(tmp_path, ply_file):
+    out = str(tmp_path / "out.splat")
+    cloud = convert(
+        ply_file, out, "splat",
+        bbox=(-3, -3, -3, 3, 3, 3), min_opacity=20, sor_intensity=3.0,
+    )
+    assert os.path.exists(out)
+    assert 0 < cloud.n <= 800
+    pos = np.asarray(cloud.pos)
+    assert np.all(np.abs(pos) <= 3.0)
+
+
+def test_converter_sh_capping(tmp_path, ply_file):
+    out = str(tmp_path / "out2.ply")
+    cloud = convert(ply_file, out, "3dgs", sh_level=1, force=True)
+    from gsconverter_tpu.ops.sh import detect_active_degree
+
+    assert detect_active_degree(cloud) <= 1
+
+
+def test_converter_rgb_auto(tmp_path, ply_file):
+    out = str(tmp_path / "out.ksplat")
+    cloud = convert(ply_file, out, "ksplat")
+    assert cloud.has_rgb  # ksplat forces RGB synthesis
+
+
+def test_cli_info(ply_file, capsys):
+    assert main(["-i", ply_file, "--info"]) == 0
+    out = capsys.readouterr().out
+    assert "Points: 800" in out
+    assert "Format Detected: 3DGS" in out
+    assert "SH Headers" in out
+
+
+def test_cli_full_conversion(tmp_path, ply_file, capsys):
+    out = str(tmp_path / "converted.spz")
+    rc = main(["-i", ply_file, "-o", out, "-f", "spz", "--min_opacity", "10", "--force"])
+    assert rc == 0
+    assert os.path.exists(out)
+    d = get_handler("spz").read(out)
+    assert d.n > 0
+
+
+def test_cli_auto_output_and_noop_guard(tmp_path, capsys):
+    c = make_cloud(100)
+    src = str(tmp_path / "scene.ply")
+    get_handler("3dgs").write(c, src)
+    # no-op guard: ply -> 3dgs ply without filters aborts
+    rc = main(["-i", src, "-f", "3dgs"])
+    out = capsys.readouterr().out
+    assert "aborted" in out
+    # with a filter it proceeds and derives the suffixed output path
+    rc = main(["-i", src, "-f", "3dgs", "--min_opacity", "5", "--force"])
+    assert rc == 0
+    assert os.path.exists(str(tmp_path / "scene_3dgs.ply"))
+
+
+def test_cli_validation_errors(ply_file, capsys):
+    assert main(["-i", ply_file, "-f", "splat", "--sor_intensity", "99"]) == 1
+    assert main(["-i", ply_file, "-f", "splat", "--min_opacity", "300"]) == 1
+    assert main(["-i", ply_file, "-f", "nope"]) == 1
+
+
+def test_format_matrix_n_to_n(tmp_path, ply_file):
+    """Every format readable after writing from every source (config 5 matrix,
+    small N)."""
+    formats = ["3dgs", "cc", "splat", "spz", "compressed_ply", "ksplat", "parquet"]
+    src = ply_file
+    for fmt in formats:
+        out = str(tmp_path / f"m{get_handler(fmt).extension}")
+        convert(src, out, fmt, force=True)
+        d = get_handler(fmt).read(out)
+        assert d.n == 800, fmt

@@ -1,0 +1,82 @@
+"""Multi-chip sharding tests on the virtual 8-device CPU mesh (SURVEY.md §4:
+same pjit/shard_map code paths as a real pod slice)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from tests.conftest import cpu_devices, make_cloud
+
+
+def make_mesh(n=8):
+    from gsconverter_tpu.parallel.mesh import make_mesh as mm
+
+    return mm(devices=cpu_devices()[:n])
+
+
+def test_mesh_and_sharding():
+    from gsconverter_tpu.parallel.sharding import shard_cloud
+
+    mesh = make_mesh()
+    c = make_cloud(1000)  # pads to 1000 -> 1000 % 8 != 0 -> 1008
+    sharded, valid_n = shard_cloud(c, mesh)
+    assert valid_n == 1000
+    assert sharded.n % 8 == 0
+    assert len(sharded.pos.sharding.device_set) == 8
+
+
+def test_sharded_kmeans_matches_quality():
+    from gsconverter_tpu.parallel.distributed import sharded_kmeans
+
+    r = np.random.default_rng(0)
+    centers = np.array([[0, 0], [20, 0], [0, 20], [20, 20]], np.float32)
+    x = np.concatenate(
+        [r.normal(0, 0.3, (512, 2)).astype(np.float32) + t for t in centers]
+    )
+    mesh = make_mesh()
+    c, labels = sharded_kmeans(jnp.asarray(x), 4, mesh, max_iter=10)
+    c = np.asarray(c)
+    for t in centers:
+        assert np.min(np.linalg.norm(c - t, axis=1)) < 0.3
+    assert labels.shape == (2048,)
+
+
+def test_sharded_sor_matches_single_device():
+    from gsconverter_tpu.parallel.distributed import sharded_sor_mask
+    from gsconverter_tpu.ops.sor import sor_mask
+
+    r = np.random.default_rng(1)
+    dense = r.normal(0, 1.0, (4000, 3)).astype(np.float32)
+    flyers = r.normal(0, 1.0, (24, 3)).astype(np.float32) + 100.0
+    pos = jnp.asarray(np.concatenate([dense, flyers]))  # 4024 pts
+    # pad to multiple of 8
+    pos = jnp.concatenate([pos, pos[:8 - 4024 % 8]], axis=0)
+    mesh = make_mesh()
+    m_multi = np.asarray(sharded_sor_mask(pos, mesh, k=15, sigma=2.0, halo=256))
+    m_single = np.asarray(sor_mask(pos, k=15, sigma=2.0))
+    # flyers removed in both
+    assert m_multi[4000:4024].mean() < 0.2
+    assert m_single[4000:4024].mean() < 0.2
+    # overall agreement (per-shard adaptive cell sizes + halo truncation
+    # shift borderline inlier decisions slightly at aggressive sigma)
+    assert (m_multi == m_single).mean() > 0.90
+
+
+def test_sharded_render_matches_single():
+    from gsconverter_tpu.parallel.distributed import sharded_render
+    from gsconverter_tpu.parallel.sharding import pad_cloud
+    from gsconverter_tpu.render import Camera, render, psnr
+
+    c = make_cloud(256, sh_degree=1)
+    c = c.replace(
+        pos=c.pos * 0.5,
+        log_scale=jnp.clip(c.log_scale, -5.0, -2.0),
+        opacity=jnp.clip(c.opacity, -3.0, 3.0),
+    )
+    cam = Camera.look_at(eye=(0, 0, -6), target=(0, 0, 0), width=32, height=32)
+    mesh = make_mesh()
+    padded, _ = pad_cloud(c, 8)
+    img_m = np.asarray(sharded_render(padded, cam, mesh, max_per_tile=256))
+    img_s = np.asarray(render(c, cam, max_per_tile=256))
+    assert float(psnr(jnp.asarray(img_m), jnp.asarray(img_s))) > 35.0

@@ -1,0 +1,105 @@
+"""Differentiable rasterizer tests: tiled vs naive-reference forward allclose
++ pixel-gradient allclose (BASELINE config 4 verification harness)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from gsconverter_tpu.render import Camera, render, render_reference, psnr
+from gsconverter_tpu.render.project import covariance_3d, quat_to_rotmat
+from tests.conftest import make_cloud
+
+
+def scene(n=300, seed=0, sh_degree=2):
+    c = make_cloud(n, sh_degree=sh_degree, seed=seed)
+    # compact scene in front of the camera
+    c = c.replace(
+        pos=c.pos * 0.5,
+        log_scale=jnp.clip(c.log_scale, -5.0, -2.0),
+        opacity=jnp.clip(c.opacity, -3.0, 3.0),
+    )
+    cam = Camera.look_at(eye=(0, 0, -6), target=(0, 0, 0), width=64, height=64)
+    return c, cam
+
+
+def test_quat_to_rotmat_orthonormal():
+    c = make_cloud(50)
+    R = np.asarray(quat_to_rotmat(c.quat))
+    eye = np.einsum("nij,nkj->nik", R, R)
+    np.testing.assert_allclose(eye, np.tile(np.eye(3), (50, 1, 1)), atol=1e-5)
+    np.testing.assert_allclose(np.linalg.det(R), 1.0, atol=1e-5)
+
+
+def test_covariance_psd():
+    c = make_cloud(50)
+    cov = np.asarray(covariance_3d(c.log_scale, c.quat))
+    ev = np.linalg.eigvalsh(cov)
+    assert np.all(ev > 0)
+
+
+def test_tiled_matches_reference_forward():
+    c, cam = scene()
+    img_t = np.asarray(render(c, cam, max_per_tile=300))
+    img_r = np.asarray(render_reference(c, cam))
+    assert float(psnr(jnp.asarray(img_t), jnp.asarray(img_r))) > 40.0
+    np.testing.assert_allclose(img_t, img_r, atol=5e-3)
+
+
+def test_render_nonempty_and_bounded():
+    c, cam = scene()
+    img = np.asarray(render(c, cam))
+    assert img.shape == (64, 64, 3)
+    assert np.all(np.isfinite(img))
+    assert img.max() > 0.01  # something rendered
+
+
+def test_pixel_gradients_match_reference():
+    c, cam = scene(n=100)
+    target = jnp.ones((64, 64, 3)) * 0.5
+
+    def loss_tiled(pos, opacity, sh_dc, log_scale, quat):
+        cc = c.replace(pos=pos, opacity=opacity, sh_dc=sh_dc,
+                       log_scale=log_scale, quat=quat)
+        return jnp.mean((render(cc, cam, max_per_tile=128) - target) ** 2)
+
+    def loss_ref(pos, opacity, sh_dc, log_scale, quat):
+        cc = c.replace(pos=pos, opacity=opacity, sh_dc=sh_dc,
+                       log_scale=log_scale, quat=quat)
+        return jnp.mean((render_reference(cc, cam) - target) ** 2)
+
+    args = (c.pos, c.opacity, c.sh_dc, c.log_scale, c.quat)
+    g_t = jax.grad(loss_tiled, argnums=(0, 1, 2, 3, 4))(*args)
+    g_r = jax.grad(loss_ref, argnums=(0, 1, 2, 3, 4))(*args)
+    for gt, gr, name in zip(g_t, g_r, ["pos", "opacity", "sh_dc", "log_scale", "quat"]):
+        scale = np.maximum(np.abs(np.asarray(gr)).max(), 1e-12)
+        np.testing.assert_allclose(
+            np.asarray(gt) / scale, np.asarray(gr) / scale, atol=2e-3,
+            err_msg=f"gradient mismatch for {name}",
+        )
+
+
+def test_gradients_nonzero():
+    c, cam = scene(n=100)
+
+    def loss(opacity):
+        return jnp.mean(render(c.replace(opacity=opacity), cam) ** 2)
+
+    g = np.asarray(jax.grad(loss)(c.opacity))
+    assert np.isfinite(g).all()
+    assert np.abs(g).max() > 0
+
+
+def test_conversion_verified_by_rendered_psnr(tmp_path):
+    """The north-star check: a lossy conversion verified by rendered PSNR
+    rather than byte diffs (BASELINE.json)."""
+    from gsconverter_tpu.formats import get_handler
+
+    c, cam = scene(n=400)
+    h = get_handler("spz")
+    path = str(tmp_path / "t.spz")
+    h.write(c, path)
+    d = get_handler("spz").read(path)
+    img_a = render(c, cam)
+    img_b = render(d, cam)
+    assert float(psnr(img_a, img_b)) > 30.0
