@@ -94,7 +94,11 @@ class Converter:
 
     # ------------------------------------------------------------------- run
     def run(self, **kwargs: Any) -> SplatCloud:
+        """Full pipeline.  Pass ``checkpoint_dir=`` to snapshot the canonical
+        cloud after each stage and resume a preempted run from the last
+        completed stage (deterministic restartable stages, SURVEY.md §5)."""
         opts = _opts_from_kwargs(kwargs)
+        ckpt_dir = kwargs.get("checkpoint_dir")
         from tqdm import tqdm
 
         with tqdm(total=100, desc="Converting",
@@ -113,9 +117,33 @@ class Converter:
                 cloud = self.source_handler.read(self.input_path)
             pbar.update(25)
 
+            # Resumable stages: find the last completed snapshot
+            stage_order = ["sh_cap", "bbox", "alpha", "density", "sor"]
+            resume_idx = -1
+            if ckpt_dir:
+                from .utils import checkpoint as ckpt
+
+                done = ckpt.latest_stage(ckpt_dir, stage_order)
+                if done is not None:
+                    resume_idx = stage_order.index(done)
+                    status_print(f"Resuming from checkpointed stage '{done}'.")
+                    cloud = ckpt.load(ckpt_dir, done)
+
+            def run_stage(name, fn, cloud):
+                i = stage_order.index(name)
+                if i <= resume_idx:
+                    return cloud  # already restored from snapshot
+                with self.timer.stage(name, cloud.n):
+                    cloud = fn(cloud)
+                if ckpt_dir:
+                    from .utils import checkpoint as ckpt
+
+                    ckpt.save(cloud, ckpt_dir, name)
+                return cloud
+
             # 3. SH capping: min(source_active, requested, format limit)
             pbar.set_description("Processing")
-            with self.timer.stage("sh_cap", cloud.n):
+            with self.timer.stage("sh_cap_detect", cloud.n):
                 source_deg = sh.detect_active_degree(cloud)
                 target_limit = FORMAT_MAX_SH.get(self.target_format, 3)
                 final_deg = source_deg
@@ -134,32 +162,33 @@ class Converter:
                 final_deg = min(final_deg, target_limit)
                 if final_deg < source_deg:
                     status_print(f"SH Reduction: Source degree {source_deg} -> Target degree {final_deg}")
-                cloud = sh.cap_degree(cloud, final_deg)
+            cloud = run_stage("sh_cap", lambda c: sh.cap_degree(c, final_deg), cloud)
             pbar.update(5)
 
             # 4. filters (order: bbox -> alpha -> density -> SOR -> auto-bbox)
             pbar.set_description("Filtering")
             if opts.bbox:
-                with self.timer.stage("bbox", cloud.n):
-                    cloud = filters.crop_by_bbox(cloud, opts.bbox)
+                cloud = run_stage("bbox", lambda c: filters.crop_by_bbox(c, opts.bbox), cloud)
             if opts.min_opacity is not None and opts.min_opacity > 0:
-                with self.timer.stage("alpha", cloud.n):
-                    cloud = filters.alpha_filter(cloud, opts.min_opacity)
+                cloud = run_stage("alpha", lambda c: filters.alpha_filter(c, opts.min_opacity), cloud)
             run_density = (
                 (opts.density_voxel_size is not None and opts.density_threshold is not None)
                 or opts.density_sensitivity is not None
             )
             if run_density:
-                with self.timer.stage("density", cloud.n):
-                    cloud = filters.density_filter(
-                        cloud,
+                cloud = run_stage(
+                    "density",
+                    lambda c: filters.density_filter(
+                        c,
                         voxel_size=(1.0 if opts.density_voxel_size is None
                                     else float(opts.density_voxel_size)),
                         threshold_percentage=(0.32 if opts.density_threshold is None
                                               else float(opts.density_threshold)),
                         sensitivity=opts.density_sensitivity,
                         keep_multicluster=opts.keep_multicluster,
-                    )
+                    ),
+                    cloud,
+                )
             pbar.update(10)
             run_sor = (
                 (opts.sor_k is not None and opts.sor_sigma is not None)
@@ -167,14 +196,17 @@ class Converter:
             )
             if run_sor:
                 pbar.set_description("Filtering (SOR)")
-                with self.timer.stage("sor", cloud.n):
-                    cloud = filters.remove_flyers(
-                        cloud,
+                cloud = run_stage(
+                    "sor",
+                    lambda c: filters.remove_flyers(
+                        c,
                         k=25 if opts.sor_k is None else int(opts.sor_k),
                         threshold_factor=(10.5 if opts.sor_sigma is None
                                           else float(opts.sor_sigma)),
                         intensity=opts.sor_intensity,
-                    )
+                    ),
+                    cloud,
+                )
             pbar.update(10)
             if opts.auto_bbox:
                 cloud = filters.auto_bbox(cloud)

@@ -232,31 +232,20 @@ class SogFormat(BaseFormat):
             target_k = max(256, target_k)
 
             num_chunks = max(1, min(64, n // 1024))
-            chunk_size = int(np.ceil(n / num_chunks))
             k_per_chunk = max(16, int(np.ceil(target_k / num_chunks)))
+            # cap so palette labels stay u16
+            k_per_chunk = min(k_per_chunk, 65536 // num_chunks)
             status_print(
-                f"SH Clustering: K={target_k}, Points={n}, chunks={num_chunks} (Pallas/MXU)"
+                f"SH Clustering: K={target_k}, Points={n}, chunks={num_chunks} "
+                "(single-jit batched MXU K-Means)"
             )
+            from ..ops.kmeans import kmeans_chunked
 
-            all_centroids, all_labels = [], []
-            offset = 0
-            for i in range(num_chunks):
-                start, end = i * chunk_size, min((i + 1) * chunk_size, n)
-                if start >= end:
-                    break
-                chunk = sh_flat[start:end]
-                pad = chunk_size - (end - start)
-                if pad and i > 0:
-                    chunk = np.concatenate([chunk, np.repeat(chunk[-1:], pad, 0)])
-                this_k = min(len(chunk), k_per_chunk)
-                c, l = kmeans(jnp.asarray(chunk), this_k, max_iter=10, seed=100 + i)
-                l = np.asarray(l)[: end - start]
-                all_centroids.append(np.asarray(c))
-                all_labels.append(l + offset)
-                offset += len(c)
-
-            centroids = np.vstack(all_centroids)
-            labels = np.concatenate(all_labels)
+            c, l = kmeans_chunked(
+                jnp.asarray(sh_flat), num_chunks, k_per_chunk, max_iter=10, seed=100
+            )
+            centroids = np.asarray(c)
+            labels = np.asarray(l)
             palette_size = len(centroids)
 
             status_print("Clustering SH Centroids into Codebook...")

@@ -27,6 +27,8 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from .padding import PAD_POS, next_pow2, pad_rows
+
 _BN = 512   # points per tile
 _BK = 256   # centroids per tile
 _LANE = 128
@@ -228,8 +230,6 @@ def kmeans(
     data itself as centroids (reference gpu_ops.py:30-31).  The point axis
     is padded to a power-of-two bucket — one compile per (bucket, D, k).
     """
-    from .padding import PAD_POS, next_pow2, pad_rows
-
     x = jnp.asarray(data, jnp.float32)
     if x.ndim == 1:
         x = x[:, None]
@@ -241,5 +241,66 @@ def kmeans(
     c, labels = _kmeans_jit(
         xp, jnp.int32(n), jnp.uint32(seed), int(k), int(max_iter),
         _resolve_impl(x, impl),
+    )
+    return c, labels[:n]
+
+
+# --------------------------------------------------------- chunked kmeans
+
+
+@functools.partial(
+    jax.jit, static_argnames=("num_chunks", "k", "iters", "impl")
+)
+def _kmeans_chunked_jit(x, n_valid, seed, num_chunks: int, k: int, iters: int, impl: str):
+    p, d = x.shape
+    chunk = p // num_chunks
+    xc = x.reshape(num_chunks, chunk, d)
+    row = jnp.arange(chunk)
+
+    def one(args):
+        xb, cidx = args
+        valid = (cidx * chunk + row) < n_valid
+        init = init_centroids(
+            xb, k, jax.random.fold_in(jax.random.PRNGKey(seed), cidx), valid=valid
+        )
+
+        def body(c, _):
+            labels = assign(xb, c, impl=impl)
+            c, _ = update(xb, labels, k, c, valid=valid)
+            return c, None
+
+        c, _ = jax.lax.scan(body, init, None, length=iters)
+        return c, assign(xb, c, impl=impl)
+
+    cents, labels = jax.lax.map(one, (xc, jnp.arange(num_chunks)))
+    offs = (jnp.arange(num_chunks) * k)[:, None]
+    return cents.reshape(num_chunks * k, d), (labels + offs).reshape(-1)
+
+
+def kmeans_chunked(
+    data,
+    num_chunks: int,
+    k_per_chunk: int,
+    max_iter: int = 10,
+    seed: int = 0,
+    impl: str = "auto",
+):
+    """Locality-chunked K-Means (the SOG shN palette strategy, reference
+    sog.py:526-549) as ONE jit program: ``lax.map`` over equal-size chunks,
+    each fitting its own k-means++-initialized codebook.
+
+    Returns (centroids [num_chunks*k, D], labels [N] offset per chunk).
+    """
+    x = jnp.asarray(data, jnp.float32)
+    if x.ndim == 1:
+        x = x[:, None]
+    n = x.shape[0]
+    chunk = -(-n // num_chunks)
+    chunk = next_pow2(chunk, floor=max(256, k_per_chunk))
+    p = chunk * num_chunks
+    xp = pad_rows(x, p, PAD_POS)
+    c, labels = _kmeans_chunked_jit(
+        xp, jnp.int32(n), int(seed), int(num_chunks), int(k_per_chunk),
+        int(max_iter), _resolve_impl(x, impl),
     )
     return c, labels[:n]

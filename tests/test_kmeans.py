@@ -52,3 +52,23 @@ def test_kmeans_scalar_1d():
     c, labels = km.kmeans(x, 256, max_iter=10)
     recon = np.asarray(c).reshape(-1)[np.asarray(labels)]
     assert np.mean(np.abs(recon - x)) < 0.05
+
+
+def test_kmeans_chunked():
+    from gsconverter_tpu.ops.kmeans import kmeans_chunked
+
+    r = np.random.default_rng(5)
+    x = r.normal(0, 1, (3000, 9)).astype(np.float32)
+    c, labels = kmeans_chunked(x, num_chunks=4, k_per_chunk=32, max_iter=8)
+    assert c.shape == (128, 9)
+    assert labels.shape == (3000,)
+    # each point's label lands in its own chunk's palette slice
+    chunk = -(-3000 // 4)
+    from gsconverter_tpu.ops.padding import next_pow2
+    chunk = next_pow2(chunk, floor=256)
+    cid = np.arange(3000) // chunk
+    assert np.all((np.asarray(labels) // 32) == cid)
+    # reconstruction is reasonable
+    recon = np.asarray(c)[np.asarray(labels)]
+    base = np.mean((x - x.mean(0)) ** 2)
+    assert np.mean((recon - x) ** 2) < base * 0.7

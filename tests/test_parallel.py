@@ -80,3 +80,20 @@ def test_sharded_render_matches_single():
     img_m = np.asarray(sharded_render(padded, cam, mesh, max_per_tile=256))
     img_s = np.asarray(render(c, cam, max_per_tile=256))
     assert float(psnr(jnp.asarray(img_m), jnp.asarray(img_s))) > 35.0
+
+
+def test_sharded_ply_read(tmp_path):
+    from gsconverter_tpu.formats import get_handler
+    from gsconverter_tpu.parallel.io import read_ply_sharded, shard_bounds
+
+    c = make_cloud(1000)
+    path = str(tmp_path / "s.ply")
+    get_handler("3dgs").write(c, path)
+
+    parts = [read_ply_sharded(path, s, 4) for s in range(4)]
+    assert sum(p.n for p in parts) == 1000
+    # shards are contiguous slices in file order
+    pos = np.concatenate([np.asarray(p.pos) for p in parts])
+    np.testing.assert_allclose(pos, np.asarray(c.pos), atol=1e-6)
+    # balanced split
+    assert shard_bounds(10, 0, 4) == (0, 3) and shard_bounds(10, 3, 4) == (8, 10)

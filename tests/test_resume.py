@@ -1,0 +1,31 @@
+"""Resumable pipeline tests: preempted run continues from last snapshot."""
+
+import os
+
+import numpy as np
+
+from gsconverter_tpu.converter import convert
+from gsconverter_tpu.formats import get_handler
+from tests.conftest import make_cloud
+
+
+def test_pipeline_checkpoints_and_resumes(tmp_path):
+    c = make_cloud(600)
+    src = str(tmp_path / "s.ply")
+    get_handler("3dgs").write(c, src)
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "o.splat")
+
+    cloud1 = convert(src, out, "splat", min_opacity=30, sor_intensity=4.0,
+                     checkpoint_dir=ckpt)
+    # snapshots exist for the active stages
+    assert os.path.exists(os.path.join(ckpt, "alpha", "manifest.json"))
+    assert os.path.exists(os.path.join(ckpt, "sor", "manifest.json"))
+
+    # a resumed run must produce the identical result without rerunning filters
+    out2 = str(tmp_path / "o2.splat")
+    cloud2 = convert(src, out2, "splat", min_opacity=30, sor_intensity=4.0,
+                     checkpoint_dir=ckpt)
+    assert cloud2.n == cloud1.n
+    np.testing.assert_allclose(np.asarray(cloud2.pos), np.asarray(cloud1.pos))
+    assert open(out, "rb").read() == open(out2, "rb").read()
