@@ -211,3 +211,103 @@ def sharded_render(cloud, cam, mesh: Mesh, axis: str = "data", **kw):
         put(sorted_cloud.pos), put(sorted_cloud.sh_dc), put(sorted_cloud.sh_rest),
         put(sorted_cloud.opacity), put(sorted_cloud.log_scale), put(sorted_cloud.quat),
     )
+
+
+# ----------------------------------------- tile-sharded render (all_to_all)
+
+
+def sharded_render_tiles(cloud, cam, mesh: Mesh, axis: str = "data",
+                         budget: int = 4096, **kw):
+    """Screen-space parallel render: image row-bands sharded across chips,
+    splats redistributed with ``all_to_all`` (SURVEY.md §2.4 "tiles sharded
+    ... splat->tile binning with all_to_all redistribution").
+
+    Each shard bins ITS splats by destination row-band (fixed ``budget``
+    entries per destination, nearest-first in depth order), one all_to_all
+    delivers every band's splats to its owner chip, which depth-sorts the
+    merged set and rasterizes its rows.  cloud must be padded to n_dev.
+    """
+    from ..render import rasterizer as rz
+    from ..render.project import project_gaussians
+
+    n_dev = mesh.devices.size
+    h, w = cam.height, cam.width
+    assert h % (rz.TILE * n_dev) == 0, "image rows must split across devices"
+    rows_per = h // n_dev
+
+    proj = project_gaussians(cloud.pos, cloud.log_scale, cloud.quat, cam)
+    order = jnp.argsort(jnp.where(proj["in_front"], proj["depth"], jnp.inf))
+    sc = cloud.select(order)
+
+    spec2 = P(axis, None)
+
+    @functools.partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(spec2, spec2, P(axis, None, None), P(axis), spec2, spec2),
+        out_specs=P(axis, None, None),
+        check_vma=False,
+    )
+    def run(pos, sh_dc, sh_rest, opacity, log_scale, quat):
+        nd = jax.lax.axis_size(axis)
+        # project locally to find destination row-bands
+        p = project_gaussians(pos, log_scale, quat, cam)
+        radius_c = jnp.minimum(p["radius"], 2.0 * rz.TILE)
+        y0 = jnp.clip(p["means2d"][:, 1] - radius_c, 0, h - 1)
+        y1 = jnp.clip(p["means2d"][:, 1] + radius_c, 0, h - 1)
+        d0 = (y0 // rows_per).astype(jnp.int32)
+        d1 = (y1 // rows_per).astype(jnp.int32)
+        nloc = pos.shape[0]
+        budget_c = min(budget, nloc)  # static clamp for tiny local shards
+
+        feats = jnp.concatenate(
+            [pos, sh_dc, sh_rest.reshape(nloc, -1), opacity[:, None],
+             log_scale, quat, p["depth"][:, None]],
+            axis=1,
+        )  # [nloc, F]
+
+        def pick(dest):
+            # first `budget` local splats (depth order) covering band `dest`
+            covers = (d0 <= dest) & (d1 >= dest) & p["in_front"]
+            score = jnp.where(covers, -jnp.arange(nloc, dtype=jnp.float32), -jnp.inf)
+            _, sel = jax.lax.top_k(score, budget_c)
+            ok = jnp.take_along_axis(covers, sel, axis=0)
+            f = feats[sel]
+            return jnp.where(ok[:, None], f, 0.0), ok
+
+        send_f, send_ok = jax.vmap(pick)(jnp.arange(nd))  # [nd, budget, F]
+        recv_f = jax.lax.all_to_all(send_f, axis, split_axis=0, concat_axis=0, tiled=True)
+        recv_ok = jax.lax.all_to_all(send_ok, axis, split_axis=0, concat_axis=0, tiled=True)
+        recv_f = recv_f.reshape(-1, feats.shape[1])
+        recv_ok = recv_ok.reshape(-1)
+
+        # merge by depth across source shards
+        depth = jnp.where(recv_ok, recv_f[:, -1], jnp.inf)
+        morder = jnp.argsort(depth)
+        f = recv_f[morder]
+        ok = recv_ok[morder]
+
+        sub = cloud.replace(
+            pos=f[:, 0:3],
+            sh_dc=f[:, 3:6],
+            sh_rest=f[:, 6:51].reshape(-1, 3, 15),
+            opacity=jnp.where(ok, f[:, 51], -30.0),
+            log_scale=f[:, 52:55],
+            quat=jnp.where(ok[:, None], f[:, 55:59], jnp.array([1.0, 0, 0, 0])),
+            rgb=None, extras={},
+        )
+        # render ONLY this shard's row band: shift the principal point so the
+        # band maps to rows [0, rows_per)
+        import dataclasses
+
+        my = jax.lax.axis_index(axis)
+        band_cam = dataclasses.replace(
+            cam, cy=cam.cy - (my * rows_per).astype(jnp.float32), height=rows_per
+        )
+        return rz.render(sub, band_cam, **kw)
+
+    put = lambda a: jax.device_put(a, NamedSharding(mesh, P(axis, *([None] * (a.ndim - 1)))))
+    return run(
+        put(sc.pos), put(sc.sh_dc), put(sc.sh_rest),
+        put(sc.opacity), put(sc.log_scale), put(sc.quat),
+    )

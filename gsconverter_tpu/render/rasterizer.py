@@ -35,7 +35,8 @@ ALPHA_MAX = 0.99
 
 
 @functools.partial(
-    jax.jit, static_argnames=("max_per_tile", "tile_chunk", "sh_degree")
+    jax.jit,
+    static_argnames=("max_per_tile", "tile_chunk", "sh_degree", "binning"),
 )
 def render(
     cloud: SplatCloud,
@@ -44,8 +45,18 @@ def render(
     max_per_tile: int = 256,
     tile_chunk: int = 16,
     sh_degree: int | None = None,
+    binning: str = "exact",
 ) -> jax.Array:
-    """Render [H,W,3] linear-RGB image. Differentiable w.r.t. all splat params."""
+    """Render [H,W,3] linear-RGB image. Differentiable w.r.t. all splat params.
+
+    binning="exact":    per-tile overlap over ALL splats (O(tiles*N) select) —
+                        the verification oracle path.
+    binning="windowed": production path — each splat emits keys for up to 36
+                        covered tiles (radius clamped to 2 tiles), one stable
+                        sort groups keys by tile in depth order, per-tile
+                        candidate windows are fixed [max_per_tile] slices.
+                        O(36N log) instead of O(tiles*N).
+    """
     h, w = cam.height, cam.width
     assert h % TILE == 0 and w % TILE == 0, "image dims must be multiples of 16"
     tw, th = w // TILE, h // TILE
@@ -82,8 +93,28 @@ def render(
     lo_y = means2d[:, 1] - radius
     hi_y = means2d[:, 1] + radius
 
-    def bin_and_render(tile_idx):
-        # tile_idx: [C] chunk of tile ids
+    if binning == "windowed":
+        span = 6  # tiles per axis a splat may cover (radius clamped below)
+        radius_c = jnp.minimum(radius, 2.0 * TILE)
+        tx0i = jnp.clip(jnp.floor((means2d[:, 0] - radius_c) / TILE), 0, tw - 1).astype(jnp.int32)
+        tx1i = jnp.clip(jnp.floor((means2d[:, 0] + radius_c) / TILE), 0, tw - 1).astype(jnp.int32)
+        ty0i = jnp.clip(jnp.floor((means2d[:, 1] - radius_c) / TILE), 0, th - 1).astype(jnp.int32)
+        ty1i = jnp.clip(jnp.floor((means2d[:, 1] + radius_c) / TILE), 0, th - 1).astype(jnp.int32)
+        offs = jnp.stack(
+            jnp.meshgrid(jnp.arange(span), jnp.arange(span), indexing="ij"), -1
+        ).reshape(-1, 2)  # [36,2] (dy,dx)
+        txs = tx0i[:, None] + offs[None, :, 1]
+        tys = ty0i[:, None] + offs[None, :, 0]
+        covered = (
+            (txs <= tx1i[:, None]) & (tys <= ty1i[:, None]) & valid[:, None]
+        )
+        tid = jnp.where(covered, tys * tw + txs, n_tiles)  # sentinel = n_tiles
+        flat_tid = tid.reshape(-1)  # depth-major order
+        order2 = jnp.argsort(flat_tid)  # stable: preserves depth order per tile
+        sorted_tid = flat_tid[order2]
+        entry_splat = order2 // (span * span)  # entry -> splat index (depth rank)
+
+    def select_exact(tile_idx):
         tx0 = x0[tile_idx]  # [C]
         ty0 = y0[tile_idx]
         overlap = (
@@ -97,6 +128,24 @@ def render(
         score = jnp.where(overlap, -jnp.arange(n, dtype=jnp.float32)[None, :], -jnp.inf)
         _, sel = jax.lax.top_k(score, max_per_tile)  # [C, M] ascending depth
         sel_valid = jnp.take_along_axis(overlap, sel, axis=1)  # [C, M]
+        return sel, sel_valid
+
+    def select_windowed(tile_idx):
+        start = jnp.searchsorted(sorted_tid, tile_idx, side="left")
+        end = jnp.searchsorted(sorted_tid, tile_idx, side="right")
+        idx = start[:, None] + jnp.arange(max_per_tile)[None, :]
+        sel_valid = idx < end[:, None]
+        idx = jnp.clip(idx, 0, sorted_tid.shape[0] - 1)
+        return entry_splat[idx], sel_valid
+
+    def bin_and_render(tile_idx):
+        # tile_idx: [C] chunk of tile ids
+        tx0 = x0[tile_idx]  # [C]
+        ty0 = y0[tile_idx]
+        if binning == "windowed":
+            sel, sel_valid = select_windowed(tile_idx)
+        else:
+            sel, sel_valid = select_exact(tile_idx)
 
         g_mean = means2d[sel]  # [C,M,2]
         g_conic = conic[sel]

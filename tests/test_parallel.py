@@ -97,3 +97,25 @@ def test_sharded_ply_read(tmp_path):
     np.testing.assert_allclose(pos, np.asarray(c.pos), atol=1e-6)
     # balanced split
     assert shard_bounds(10, 0, 4) == (0, 3) and shard_bounds(10, 3, 4) == (8, 10)
+
+
+def test_tile_sharded_render_matches_single():
+    from gsconverter_tpu.parallel.distributed import sharded_render_tiles
+    from gsconverter_tpu.parallel.sharding import pad_cloud
+    from gsconverter_tpu.render import Camera, render, psnr
+
+    c = make_cloud(256, sh_degree=1)
+    c = c.replace(
+        pos=c.pos * 0.5,
+        log_scale=jnp.clip(c.log_scale, -5.0, -2.0),
+        opacity=jnp.clip(c.opacity, -3.0, 3.0),
+    )
+    # 8 devices * 16-px tile rows -> height 128
+    cam = Camera.look_at(eye=(0, 0, -6), target=(0, 0, 0), width=32, height=128)
+    mesh = make_mesh()
+    padded, _ = pad_cloud(c, 8)
+    img_t = np.asarray(sharded_render_tiles(padded, cam, mesh, budget=512,
+                                            max_per_tile=256))
+    img_s = np.asarray(render(c, cam, max_per_tile=256))
+    assert img_t.shape == img_s.shape
+    assert float(psnr(jnp.asarray(img_t), jnp.asarray(img_s))) > 35.0

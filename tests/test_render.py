@@ -103,3 +103,24 @@ def test_conversion_verified_by_rendered_psnr(tmp_path):
     img_a = render(c, cam)
     img_b = render(d, cam)
     assert float(psnr(img_a, img_b)) > 30.0
+
+
+def test_windowed_binning_matches_exact():
+    c, cam = scene(n=400)
+    img_e = np.asarray(render(c, cam, max_per_tile=400, binning="exact"))
+    img_w = np.asarray(render(c, cam, max_per_tile=400, binning="windowed"))
+    # identical selection policy when budget covers everything and no splat
+    # exceeds the 6x6-tile clamp
+    assert float(psnr(jnp.asarray(img_w), jnp.asarray(img_e))) > 40.0
+
+
+def test_windowed_binning_gradients():
+    c, cam = scene(n=200)
+
+    def loss(opacity):
+        return jnp.mean(
+            render(c.replace(opacity=opacity), cam, binning="windowed") ** 2
+        )
+
+    g = np.asarray(jax.grad(loss)(c.opacity))
+    assert np.isfinite(g).all() and np.abs(g).max() > 0
