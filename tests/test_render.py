@@ -124,3 +124,16 @@ def test_windowed_binning_gradients():
 
     g = np.asarray(jax.grad(loss)(c.opacity))
     assert np.isfinite(g).all() and np.abs(g).max() > 0
+
+
+def test_fit_reduces_loss():
+    from gsconverter_tpu.render.train import fit
+
+    c, cam = scene(n=120)
+    target = np.asarray(render(c, cam))
+    # perturb and recover
+    import jax.numpy as jnp
+    perturbed = c.replace(sh_dc=c.sh_dc + 0.3, opacity=c.opacity - 0.5)
+    fitted, losses = fit(perturbed, cam, jnp.asarray(target), steps=30, lr=2e-2,
+                         max_per_tile=128)
+    assert losses[-1] < losses[0] * 0.5
