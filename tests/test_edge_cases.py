@@ -1,0 +1,101 @@
+"""Edge cases: empty clouds, single splat, ascii PLY, extra elements."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from gsconverter_tpu.cloud import SplatCloud
+from gsconverter_tpu.converter import convert
+from gsconverter_tpu.formats import get_handler
+from gsconverter_tpu.ops import filters
+from gsconverter_tpu.utils import ply
+from tests.conftest import make_cloud
+
+
+def test_single_splat_roundtrip(tmp_path):
+    c = make_cloud(1)
+    for fmt in ["3dgs", "splat", "spz", "compressed_ply", "parquet"]:
+        path = str(tmp_path / f"one{get_handler(fmt).extension}")
+        get_handler(fmt).write(c, path)
+        d = get_handler(fmt).read(path)
+        assert d.n == 1, fmt
+
+
+def test_empty_cloud_write_read(tmp_path):
+    c = SplatCloud.zeros(0)
+    path = str(tmp_path / "empty.ply")
+    get_handler("3dgs").write(c, path)
+    d = get_handler("3dgs").read(path)
+    assert d.n == 0
+
+
+def test_filters_on_tiny_clouds():
+    c = make_cloud(3)
+    out = filters.alpha_filter(c, 1)
+    assert out.n <= 3
+    out = filters.crop_by_bbox(c, (-100, -100, -100, 100, 100, 100))
+    assert out.n == 3
+    out = filters.remove_flyers(c, k=25, threshold_factor=10.5)
+    assert out.n <= 3
+    out = filters.density_filter(c, 1.0, 0.0)
+    assert out.n >= 1
+
+
+def test_ascii_ply_read(tmp_path):
+    path = str(tmp_path / "a.ply")
+    with open(path, "w") as f:
+        f.write(
+            "ply\nformat ascii 1.0\nelement vertex 2\n"
+            "property float x\nproperty float y\nproperty float z\n"
+            "property float f_dc_0\nproperty float f_dc_1\nproperty float f_dc_2\n"
+            "property float opacity\n"
+            "property float scale_0\nproperty float scale_1\nproperty float scale_2\n"
+            "property float rot_0\nproperty float rot_1\nproperty float rot_2\nproperty float rot_3\n"
+            "end_header\n"
+            "1 2 3 0.1 0.2 0.3 0.5 -4 -4 -4 1 0 0 0\n"
+            "4 5 6 0.4 0.5 0.6 1.5 -3 -3 -3 0 1 0 0\n"
+        )
+    d = get_handler("3dgs").read(path)
+    assert d.n == 2
+    np.testing.assert_allclose(np.asarray(d.pos)[0], [1, 2, 3])
+    np.testing.assert_allclose(np.asarray(d.opacity), [0.5, 1.5])
+
+
+def test_extra_elements_preserved_through_converter(tmp_path):
+    c = make_cloud(50)
+    src = str(tmp_path / "s.ply")
+    # write with an extra camera element
+    arr = np.zeros(2, dtype=[("fx", "<f4"), ("fy", "<f4")])
+    arr["fx"] = [500.0, 600.0]
+    from gsconverter_tpu.formats.ply_gs import vertex_array_from_cloud
+
+    verts = vertex_array_from_cloud(c, crop_sh=False, prefix_nonspatial=False)
+    ply.write(src, [ply.PlyElement("vertex", verts), ply.PlyElement("intrinsic", arr)])
+
+    out = str(tmp_path / "o.ply")
+    convert(src, out, "3dgs", maintain_extra_elements=True, min_opacity=1, force=True)
+    plyf = ply.read(out)
+    assert "intrinsic" in plyf
+    np.testing.assert_allclose(plyf["intrinsic"].data["fx"], [500.0, 600.0])
+
+    # without the flag the element is stripped
+    out2 = str(tmp_path / "o2.ply")
+    convert(src, out2, "3dgs", min_opacity=1, force=True)
+    assert "intrinsic" not in ply.read(out2)
+
+
+def test_ply_list_property_roundtrip(tmp_path):
+    """Face-style list properties survive the generic slow path."""
+    path = str(tmp_path / "f.ply")
+    verts = np.zeros(3, dtype=[("x", "<f4"), ("y", "<f4"), ("z", "<f4")])
+    el_v = ply.PlyElement("vertex", verts)
+    faces = np.zeros(1, dtype=[("_", "u1")])[["_"]]
+    el_f = ply.PlyElement(
+        "face",
+        np.zeros(1, dtype=[("_", "u1")]),
+        list_props={"vertex_indices": ("uchar", "int", [np.array([0, 1, 2])])},
+    )
+    ply.write(path, [el_v, el_f])
+    back = ply.read(path)
+    assert "face" in back
+    np.testing.assert_array_equal(back["face"].list_props["vertex_indices"][2][0], [0, 1, 2])
