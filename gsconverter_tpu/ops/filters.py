@@ -21,8 +21,10 @@ from . import sor as sor_ops
 
 
 def _apply_mask(cloud: SplatCloud, mask, name: str) -> SplatCloud:
+    from .compaction import compact
+
     n0 = cloud.n
-    out = cloud.compact(np.asarray(mask))
+    out = compact(cloud, jnp.asarray(mask))
     status_print(f"After {name}, retained {out.n} out of {n0} vertices.")
     return out
 

@@ -104,3 +104,15 @@ def test_rgb_synthesis_srgb_gamma():
         np.clip(0.5 + SH_C0 * np.asarray(c.sh_dc), 0, 1) ** (1 / 2.2) * 255
     ).astype(np.uint8)
     np.testing.assert_array_equal(np.asarray(out.rgb), expect)
+
+
+def test_device_compaction_preserves_order():
+    from gsconverter_tpu.ops.compaction import compact
+
+    c = make_cloud(100)
+    mask = jnp.asarray(np.arange(100) % 3 == 0)
+    out = compact(c, mask)
+    assert out.n == 34
+    np.testing.assert_allclose(
+        np.asarray(out.pos), np.asarray(c.pos)[np.arange(100) % 3 == 0]
+    )
