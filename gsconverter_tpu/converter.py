@@ -135,6 +135,10 @@ class Converter:
                     return cloud  # already restored from snapshot
                 with self.timer.stage(name, cloud.n):
                     cloud = fn(cloud)
+                if config_mod.DEBUG:
+                    from .utils.validate import validate_cloud
+
+                    validate_cloud(cloud, where=name)
                 if ckpt_dir:
                     from .utils import checkpoint as ckpt
 
