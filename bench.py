@@ -45,12 +45,17 @@ r = np.random.default_rng(0)
 if kind == "sor":
     from gsconverter_tpu.ops.sor import sor_mask
     n = int(sys.argv[2])
+    # tiny probe first: validates the program family on-device cheaply
+    tiny = jnp.asarray(r.normal(0, 3.0, (4096, 3)).astype(np.float32))
+    jax.block_until_ready(sor_mask(tiny, k=25, sigma=10.5))
     pos = jnp.asarray(r.normal(0, 3.0, (n, 3)).astype(np.float32))
     f = lambda: jax.block_until_ready(sor_mask(pos, k=25, sigma=10.5))
     per_call = n
 elif kind == "kmeans":
     from gsconverter_tpu.ops import kmeans as km
     n, d, k = int(sys.argv[2]), int(sys.argv[3]), int(sys.argv[4])
+    tiny = jnp.asarray(r.normal(0, 1.0, (4096, d)).astype(np.float32))
+    jax.block_until_ready(km.kmeans(tiny, 64, max_iter=2)[1])
     x = jnp.asarray(r.normal(0, 1.0, (n, d)).astype(np.float32))
     f = lambda: jax.block_until_ready(km.kmeans(x, k, max_iter=10)[1])
     per_call = n * 10
@@ -67,7 +72,7 @@ print(json.dumps({"rate": per_call / dt / 1e6, "secs": dt}))
 """
 
 
-def run_tpu_workload(args: list[str], timeout: int = 3000) -> float | None:
+def run_tpu_workload(args: list[str], timeout: int = 1800) -> float | None:
     """Run one workload in a subprocess; returns Msplats/s or None."""
     try:
         out = subprocess.run(

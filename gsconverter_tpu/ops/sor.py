@@ -96,11 +96,16 @@ def _adaptive_cell_size(pos, valid, mins, extent):
 
 
 def _sor_md_impl(
-    pos: jax.Array, valid: jax.Array, k: int, cap: int, block: int
+    pos: jax.Array, valid: jax.Array, k: int, cap: int, block: int,
+    approx: bool = False,
 ) -> jax.Array:
     """Mean-KNN distance per point; ``valid`` marks real candidate points.
 
     Rows with valid=False get meaningless values — callers mask them out.
+    ``approx=True`` selects neighbors with the TPU-native partial-reduction
+    primitive ``jax.lax.approx_max_k`` (recall ~0.95) instead of an exact
+    top-k sort — the thresholding contract (mean vs mu+sigma*std) is robust
+    to the tiny recall loss, and the primitive maps far better onto the VPU.
     """
     k = min(int(k), MAX_K)
     n = pos.shape[0]
@@ -144,7 +149,10 @@ def _sor_md_impl(
         diff = cand - bpos[:, None, :]
         d2 = jnp.sum(diff * diff, axis=-1)
         d2 = jnp.where(ok & (d2 > 1e-12), d2, jnp.inf)  # drop self & invalid
-        neg_top, _ = jax.lax.top_k(-d2, k)
+        if approx:
+            neg_top, _ = jax.lax.approx_max_k(-d2, k, recall_target=0.95)
+        else:
+            neg_top, _ = jax.lax.top_k(-d2, k)
         dk2 = -neg_top
         found = jnp.isfinite(dk2)
         dist = jnp.sqrt(jnp.where(found, dk2, 0.0))
@@ -160,9 +168,9 @@ def _sor_md_impl(
     return jnp.zeros(n, jnp.float32).at[order].set(means_sorted)
 
 
-_sor_md_masked = functools.partial(jax.jit, static_argnames=("k", "cap", "block"))(
-    _sor_md_impl
-)
+_sor_md_masked = functools.partial(
+    jax.jit, static_argnames=("k", "cap", "block", "approx")
+)(_sor_md_impl)
 
 
 def sor_mean_knn_dists(pos: jax.Array, k: int = 25, cap: int = DEFAULT_CAP,
@@ -175,11 +183,11 @@ def sor_mean_knn_dists(pos: jax.Array, k: int = 25, cap: int = DEFAULT_CAP,
     return _sor_md_masked(posp, valid, int(k), cap, block)[:n]
 
 
-@functools.partial(jax.jit, static_argnames=("k",))
-def _sor_mask_padded(pos, n_valid, k: int, sigma):
+@functools.partial(jax.jit, static_argnames=("k", "approx"))
+def _sor_mask_padded(pos, n_valid, k: int, sigma, approx: bool = False):
     p = pos.shape[0]
     valid = jnp.arange(p) < n_valid
-    md = _sor_md_impl(pos, valid, k, DEFAULT_CAP, 2048)
+    md = _sor_md_impl(pos, valid, k, DEFAULT_CAP, 2048, approx=approx)
     cnt = n_valid.astype(jnp.float32)
     mean = jnp.sum(jnp.where(valid, md, 0.0)) / cnt
     var = jnp.sum(jnp.where(valid, (md - mean) ** 2, 0.0)) / cnt
@@ -187,7 +195,7 @@ def _sor_mask_padded(pos, n_valid, k: int, sigma):
     return (md < thresh) & valid
 
 
-def sor_mask(pos: jax.Array, k: int, sigma: float) -> jax.Array:
+def sor_mask(pos: jax.Array, k: int, sigma: float, approx: bool = False) -> jax.Array:
     """Keep-mask: mean_knn_dist < mean + sigma * std (reference gpu_ops.py:259-263).
 
     Pads to a power-of-two bucket internally — one compile per (bucket, k).
@@ -195,4 +203,6 @@ def sor_mask(pos: jax.Array, k: int, sigma: float) -> jax.Array:
     n = pos.shape[0]
     p = next_pow2(n)
     posp = pad_rows(pos, p, PAD_POS)
-    return _sor_mask_padded(posp, jnp.int32(n), min(int(k), MAX_K), jnp.float32(sigma))[:n]
+    return _sor_mask_padded(
+        posp, jnp.int32(n), min(int(k), MAX_K), jnp.float32(sigma), approx=approx
+    )[:n]

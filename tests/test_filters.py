@@ -116,3 +116,11 @@ def test_device_compaction_preserves_order():
     np.testing.assert_allclose(
         np.asarray(out.pos), np.asarray(c.pos)[np.arange(100) % 3 == 0]
     )
+
+
+def test_sor_approx_matches_exact():
+    r = np.random.default_rng(7)
+    pos = jnp.asarray(r.normal(0, 1.0, (3000, 3)).astype(np.float32))
+    m_exact = np.asarray(sor.sor_mask(pos, k=20, sigma=3.0, approx=False))
+    m_approx = np.asarray(sor.sor_mask(pos, k=20, sigma=3.0, approx=True))
+    assert (m_exact == m_approx).mean() > 0.99
