@@ -107,3 +107,31 @@ def test_format_matrix_n_to_n(tmp_path, ply_file):
         convert(src, out, fmt, force=True)
         d = get_handler(fmt).read(out)
         assert d.n == 800, fmt
+
+
+def test_convert_batch_matrix(tmp_path):
+    from gsconverter_tpu.batch import convert_batch
+
+    for i in range(2):
+        c = make_cloud(150, seed=i)
+        get_handler("3dgs").write(c, str(tmp_path / f"scene{i}.ply"))
+    out_dir = str(tmp_path / "out")
+    done = convert_batch(
+        str(tmp_path / "scene*.ply"), out_dir, ["splat", "spz"], force=True
+    )
+    assert len(done) == 4
+    for _, fmt, out in done:
+        assert os.path.exists(out)
+        assert get_handler(fmt).read(out).n == 150
+
+
+def test_convert_batch_round_robin(tmp_path):
+    from gsconverter_tpu.batch import convert_batch
+
+    c = make_cloud(100)
+    get_handler("3dgs").write(c, str(tmp_path / "s.ply"))
+    a = convert_batch(str(tmp_path / "s.ply"), str(tmp_path / "o"), ["splat", "spz"],
+                      process_index=0, process_count=2, force=True)
+    b = convert_batch(str(tmp_path / "s.ply"), str(tmp_path / "o"), ["splat", "spz"],
+                      process_index=1, process_count=2, force=True)
+    assert len(a) == 1 and len(b) == 1 and a[0][1] != b[0][1]
