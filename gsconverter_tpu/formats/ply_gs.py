@@ -89,10 +89,12 @@ def cloud_from_vertex_array(
             break
         rest_cols.append(np.ascontiguousarray(v, dtype=np.float32))
     n_rest = len(rest_cols)
-    flat = (
-        np.stack(rest_cols, axis=1) if n_rest else np.zeros((n, 0), np.float32)
-    )
-    sh_rest = np.asarray(SplatCloud.sh_rest_from_flat(jnp.asarray(flat)))
+    # host-side re-stride (numpy, no device compile on the IO path)
+    sh_rest = np.zeros((n, 3, 15), np.float32)
+    if n_rest:
+        dim = n_rest // 3
+        flat = np.stack(rest_cols, axis=1)
+        sh_rest[:, :, :dim] = flat.reshape(n, 3, dim)
 
     opacity = col("opacity")
     log_scale = np.stack([col("scale_0"), col("scale_1"), col("scale_2")], axis=1)
