@@ -104,12 +104,24 @@ def _sor_md_impl(
     Rows with valid=False get meaningless values — callers mask them out.
     ``approx=True`` selects neighbors with the TPU-native partial-reduction
     primitive ``jax.lax.approx_max_k`` (recall ~0.95) instead of an exact
-    top-k sort — the thresholding contract (mean vs mu+sigma*std) is robust
-    to the tiny recall loss, and the primitive maps far better onto the VPU.
+    top-k sort.
+
+    NOTE: composed from two separately-jitted stages (_sor_stage_bin and
+    _sor_stage_loop).  The fully-fused program miscompiles on the axon TPU
+    AOT compiler at N >= ~1M (device kernel fault) while each stage compiles
+    and runs fine — see tools/bisect_tpu_fault*.py.  Numerics are identical.
     """
     k = min(int(k), MAX_K)
+    order, skeys, spos, svalid, ci_sorted, cell = _sor_stage_bin(pos, valid)
+    md_sorted = _sor_stage_loop(skeys, spos, svalid, ci_sorted, cell,
+                                k, cap, block, approx)
     n = pos.shape[0]
+    return jnp.zeros(n, jnp.float32).at[order].set(md_sorted)
 
+
+@jax.jit
+def _sor_stage_bin(pos: jax.Array, valid: jax.Array):
+    """Stage 1: adaptive cell size + collision-free cell binning (one sort)."""
     big = jnp.float32(PAD_POS)
     mins = jnp.min(jnp.where(valid[:, None], pos, big), axis=0)
     maxs = jnp.max(jnp.where(valid[:, None], pos, -big), axis=0)
@@ -118,11 +130,14 @@ def _sor_md_impl(
 
     ci, keys = _cell_keys(pos, valid, mins, cell)
     order = jnp.argsort(keys)
-    skeys = keys[order]
-    spos = pos[order]
-    svalid = valid[order]
-    ci_sorted = ci[order]
+    return order, keys[order], pos[order], valid[order], ci[order], cell
 
+
+@functools.partial(jax.jit, static_argnames=("k", "cap", "block", "approx"))
+def _sor_stage_loop(skeys, spos, svalid, ci_sorted, cell, k: int, cap: int,
+                    block: int, approx: bool):
+    """Stage 2: 27-cell candidate windows + mean of k nearest, block-wise."""
+    n = spos.shape[0]
     d = jnp.arange(-1, 2)
     offs = jnp.stack(jnp.meshgrid(d, d, d, indexing="ij"), axis=-1).reshape(27, 3)
 
@@ -161,16 +176,12 @@ def _sor_md_impl(
         return (jnp.sum(dist, axis=1) + fill) / k
 
     nb = spos_p.shape[0] // block
-    means_sorted = jax.lax.map(
+    return jax.lax.map(
         one_block, (spos_p.reshape(nb, block, 3), ci_p.reshape(nb, block, 3))
     ).reshape(-1)[:n]
 
-    return jnp.zeros(n, jnp.float32).at[order].set(means_sorted)
 
-
-_sor_md_masked = functools.partial(
-    jax.jit, static_argnames=("k", "cap", "block", "approx")
-)(_sor_md_impl)
+_sor_md_masked = _sor_md_impl  # staged-jit composition (see docstring)
 
 
 def sor_mean_knn_dists(pos: jax.Array, k: int = 25, cap: int = DEFAULT_CAP,
@@ -183,16 +194,20 @@ def sor_mean_knn_dists(pos: jax.Array, k: int = 25, cap: int = DEFAULT_CAP,
     return _sor_md_masked(posp, valid, int(k), cap, block)[:n]
 
 
-@functools.partial(jax.jit, static_argnames=("k", "approx"))
-def _sor_mask_padded(pos, n_valid, k: int, sigma, approx: bool = False):
-    p = pos.shape[0]
-    valid = jnp.arange(p) < n_valid
-    md = _sor_md_impl(pos, valid, k, DEFAULT_CAP, 2048, approx=approx)
+@jax.jit
+def _sor_mask_stats(md, valid, n_valid, sigma):
     cnt = n_valid.astype(jnp.float32)
     mean = jnp.sum(jnp.where(valid, md, 0.0)) / cnt
     var = jnp.sum(jnp.where(valid, (md - mean) ** 2, 0.0)) / cnt
     thresh = mean + sigma * jnp.sqrt(jnp.maximum(var, 0.0))
     return (md < thresh) & valid
+
+
+def _sor_mask_padded(pos, n_valid, k: int, sigma, approx: bool = False):
+    p = pos.shape[0]
+    valid = jnp.arange(p) < n_valid
+    md = _sor_md_impl(pos, valid, k, DEFAULT_CAP, 2048, approx=approx)
+    return _sor_mask_stats(md, valid, n_valid, sigma)
 
 
 def sor_mask(pos: jax.Array, k: int, sigma: float, approx: bool = False) -> jax.Array:
