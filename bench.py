@@ -24,10 +24,10 @@ import time
 
 import numpy as np
 
-# Known-good sizes on this TPU (larger SOR programs currently fault the
-# axon device — see bench_diag notes; revisit upward once diagnosed).
-N_SOR = 262_144
-N_KM, D_KM, K_KM = 262_144, 24, 1024
+# The fused Morton-window SOR runs clean at 4M on this device (the old
+# gather-heavy grid program faulted at N>=1M — see bench_diag notes).
+N_SOR = 4_194_304
+N_KM, D_KM, K_KM = 1_048_576, 24, 1024
 
 
 def log(*a):
@@ -40,6 +40,14 @@ from gsconverter_tpu.utils.cache import enable_compilation_cache
 enable_compilation_cache()
 import numpy as np, jax, jax.numpy as jnp
 
+# NOTE: on this environment's axon tunnel, block_until_ready returns before
+# the device work is done — a host-side scalar readback is the only reliable
+# sync point, so every timed call ends in float(jnp.sum(...)).
+def sync(x):
+    if x.dtype == bool:
+        x = x.astype(jnp.int32)
+    return float(jnp.sum(x))
+
 kind = sys.argv[1]
 r = np.random.default_rng(0)
 if kind == "sor":
@@ -47,17 +55,19 @@ if kind == "sor":
     n = int(sys.argv[2])
     # tiny probe first: validates the program family on-device cheaply
     tiny = jnp.asarray(r.normal(0, 3.0, (4096, 3)).astype(np.float32))
-    jax.block_until_ready(sor_mask(tiny, k=25, sigma=10.5))
+    sync(sor_mask(tiny, k=25, sigma=10.5))
     pos = jnp.asarray(r.normal(0, 3.0, (n, 3)).astype(np.float32))
-    f = lambda: jax.block_until_ready(sor_mask(pos, k=25, sigma=10.5))
+    sync(pos)  # materialize input on device before timing
+    f = lambda: sync(sor_mask(pos, k=25, sigma=10.5))
     per_call = n
 elif kind == "kmeans":
     from gsconverter_tpu.ops import kmeans as km
     n, d, k = int(sys.argv[2]), int(sys.argv[3]), int(sys.argv[4])
     tiny = jnp.asarray(r.normal(0, 1.0, (4096, d)).astype(np.float32))
-    jax.block_until_ready(km.kmeans(tiny, 64, max_iter=2)[1])
+    sync(km.kmeans(tiny, 64, max_iter=2)[1])
     x = jnp.asarray(r.normal(0, 1.0, (n, d)).astype(np.float32))
-    f = lambda: jax.block_until_ready(km.kmeans(x, k, max_iter=10)[1])
+    sync(x)
+    f = lambda: sync(km.kmeans(x, k, max_iter=10)[1])
     per_call = n * 10
 else:
     raise SystemExit(f"unknown kind {kind}")

@@ -124,3 +124,30 @@ def test_sor_approx_matches_exact():
     m_exact = np.asarray(sor.sor_mask(pos, k=20, sigma=3.0, approx=False))
     m_approx = np.asarray(sor.sor_mask(pos, k=20, sigma=3.0, approx=True))
     assert (m_exact == m_approx).mean() > 0.99
+
+
+def test_sor_window_matches_bruteforce_knn():
+    # The window method is exact whenever n <= block + 2*window (3072):
+    # its mask must match a dense brute-force KNN mean-distance filter.
+    r = np.random.default_rng(11)
+    n = 2500
+    pos = np.concatenate(
+        [r.normal(0, 1.0, (n - 30, 3)), r.normal(0, 30.0, (30, 3))]
+    ).astype(np.float32)
+    d2 = ((pos[:, None, :] - pos[None, :, :]) ** 2).sum(-1)
+    np.fill_diagonal(d2, np.inf)
+    k = 15
+    md = np.sqrt(np.sort(d2, axis=1)[:, :k]).mean(1)
+    mask_ref = md < md.mean() + 2.0 * md.std()
+    m = np.asarray(
+        sor.sor_mask(jnp.asarray(pos), k=k, sigma=2.0, approx=False, method="window")
+    )
+    assert (m == mask_ref).mean() > 0.999
+
+
+def test_sor_window_matches_grid_method():
+    r = np.random.default_rng(3)
+    pos = jnp.asarray(r.normal(0, 1.0, (5000, 3)).astype(np.float32))
+    mw = np.asarray(sor.sor_mask(pos, k=20, sigma=3.0, method="window"))
+    mg = np.asarray(sor.sor_mask(pos, k=20, sigma=3.0, method="grid"))
+    assert (mw == mg).mean() > 0.99
