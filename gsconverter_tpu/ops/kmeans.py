@@ -151,18 +151,86 @@ def assign(x: jax.Array, c: jax.Array, impl: str = "auto") -> jax.Array:
 # ------------------------------------------------------------------ update
 
 
+def _update_kernel(lab_ref, x_ref, sums_ref, cnt_ref):
+    j = pl.program_id(0)
+    i = pl.program_id(1)
+    lab = lab_ref[:]  # [1, BN] int32
+    x = x_ref[:]      # [BN, Dp]
+    rows = jax.lax.broadcasted_iota(jnp.int32, (_BK, _BN), 0) + j * _BK
+    onehot = (rows == lab).astype(jnp.float32)  # [BK, BN]
+    # Segment-sum as an MXU matmul: sums_j += onehot @ x.  This replaces
+    # jax.ops.segment_sum, whose scatter lowering serializes on TPU and
+    # measured 8x the cost of the assign matmul at N=1M, K=1024.
+    psum = jnp.dot(onehot, x, preferred_element_type=jnp.float32)  # [BK, Dp]
+    pcnt = jnp.sum(onehot, axis=1)[:, None]  # [BK, 1]
+
+    @pl.when(i == 0)
+    def _():
+        sums_ref[:] = psum
+        cnt_ref[:] = pcnt
+
+    @pl.when(i > 0)
+    def _():
+        sums_ref[:] += psum
+        cnt_ref[:] += pcnt
+
+
+@functools.partial(jax.jit, static_argnames=("k", "interpret"))
+def _update_sums_pallas(x: jax.Array, labels: jax.Array, k: int,
+                        interpret: bool = False):
+    """(sums [k,D], counts [k]) via one-hot MXU matmuls, no scatter.
+
+    Out-of-range labels (the ``k`` discard bin for padded rows) land in the
+    centroid-padding region and are sliced away — kp is always > the real k
+    when a discard bin is in use because pads round UP to _BK (when k is an
+    exact multiple of _BK, label k matches no iota row at all).
+    """
+    n, d = x.shape
+    xp = _pad_axis(_pad_axis(x, _LANE, 1), _BN, 0)
+    np_, dp = xp.shape
+    kp = max(_BK, ((k + _BK - 1) // _BK) * _BK)
+    # Padded x rows carry label -1 (matches no row of the iota).
+    labp = jnp.full((1, np_), -1, jnp.int32).at[0, :n].set(labels.astype(jnp.int32))
+    grid = (kp // _BK, np_ // _BN)
+    sums, counts = pl.pallas_call(
+        _update_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, _BN), lambda j, i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((_BN, dp), lambda j, i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((_BK, dp), lambda j, i: (j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((_BK, 1), lambda j, i: (j, 0), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((kp, dp), jnp.float32),
+            jax.ShapeDtypeStruct((kp, 1), jnp.float32),
+        ),
+        interpret=interpret,
+    )(labp, xp)
+    return sums[:k, :d], counts[:k, 0]
+
+
 def update(x: jax.Array, labels: jax.Array, k: int, prev: jax.Array,
-           axis_name: str | None = None, valid: jax.Array | None = None):
+           axis_name: str | None = None, valid: jax.Array | None = None,
+           impl: str = "auto"):
     """New centroids = mean of assigned points; empty clusters keep prev.
 
     ``valid`` masks out padded rows (their labels route to a discard bin).
     """
     if valid is not None:
         labels = jnp.where(valid, labels, k)
-    sums = jax.ops.segment_sum(x, labels, num_segments=k + 1)[:k]
-    counts = jax.ops.segment_sum(
-        jnp.ones_like(labels, jnp.float32), labels, num_segments=k + 1
-    )[:k]
+    impl = _resolve_impl(x, impl)
+    if impl in ("pallas", "pallas_interpret"):
+        sums, counts = _update_sums_pallas(
+            x, labels, k, interpret=(impl == "pallas_interpret")
+        )
+    else:
+        sums = jax.ops.segment_sum(x, labels, num_segments=k + 1)[:k]
+        counts = jax.ops.segment_sum(
+            jnp.ones_like(labels, jnp.float32), labels, num_segments=k + 1
+        )[:k]
     if axis_name is not None:
         sums = jax.lax.psum(sums, axis_name)
         counts = jax.lax.psum(counts, axis_name)
@@ -232,7 +300,7 @@ def _kmeans_jit(x, n_valid, seed, k, iters, impl):
 
     def body(c, _):
         labels = assign(x, c, impl=impl)
-        c, _ = update(x, labels, k, c, valid=valid)
+        c, _ = update(x, labels, k, c, valid=valid, impl=impl)
         return c, None
 
     c, _ = jax.lax.scan(body, init, None, length=iters)
@@ -288,7 +356,7 @@ def _kmeans_chunked_jit(x, n_valid, seed, num_chunks: int, k: int, iters: int, i
 
         def body(c, _):
             labels = assign(xb, c, impl=impl)
-            c, _ = update(xb, labels, k, c, valid=valid)
+            c, _ = update(xb, labels, k, c, valid=valid, impl=impl)
             return c, None
 
         c, _ = jax.lax.scan(body, init, None, length=iters)
