@@ -117,6 +117,21 @@ class Converter:
                 cloud = self.source_handler.read(self.input_path)
             pbar.update(25)
 
+            # Multi-chip: place the cloud sharded over the active mesh so
+            # every jit stage runs SPMD (GSPMD partitions the element-wise
+            # filters; SOR/K-Means dispatch to the explicit shard_map paths).
+            from .parallel.mesh import active_mesh
+
+            mesh = active_mesh()
+            if mesh is not None and mesh.devices.size > 1:
+                from .parallel.sharding import place_cloud
+
+                status_print(
+                    f"Sharding {cloud.n} splats over "
+                    f"{mesh.devices.size} devices."
+                )
+                cloud = place_cloud(cloud, mesh)
+
             # Resumable stages: find the last completed snapshot
             stage_order = ["sh_cap", "bbox", "alpha", "density", "sor"]
             resume_idx = -1

@@ -89,7 +89,19 @@ def remove_flyers(
     debug_print(f"SOR Filter (Remove Flyers) Params: K={k}, Sigma={threshold_factor:.2f}")
     if cloud.n == 0:
         return cloud
-    mask = sor_ops.sor_mask(cloud.pos, int(k), float(threshold_factor))
+    from ..parallel.mesh import active_mesh
+
+    mesh = active_mesh()
+    if mesh is not None and mesh.devices.size > 1 and cloud.n > mesh.devices.size:
+        # automatic multi-chip dispatch (analogue of the reference's GPU/CPU
+        # ladder, gpu_ops.py:33-46): halo-exchange SOR over the mesh
+        from ..parallel.distributed import sharded_sor_mask
+
+        debug_print(f"SOR: dispatching to {mesh.devices.size}-device mesh")
+        mask = sharded_sor_mask(cloud.pos, mesh, k=int(k),
+                                sigma=float(threshold_factor))
+    else:
+        mask = sor_ops.sor_mask(cloud.pos, int(k), float(threshold_factor))
     return _apply_mask(cloud, mask, "removing flyers")
 
 

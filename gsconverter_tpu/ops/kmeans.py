@@ -328,6 +328,16 @@ def kmeans(
         return np.asarray(x), np.arange(n, dtype=np.int32)
     p = next_pow2(n)
     xp = pad_rows(x, p, PAD_POS)
+    if impl == "auto":
+        mesh = _dispatch_mesh(p)
+        if mesh is not None:
+            from ..parallel.distributed import sharded_kmeans
+
+            c, labels = sharded_kmeans(
+                xp, int(k), mesh, max_iter=int(max_iter), seed=int(seed),
+                n_valid=jnp.int32(n),
+            )
+            return c, labels[:n]
     c, labels = _kmeans_jit(
         xp, jnp.int32(n), jnp.uint32(seed), int(k), int(max_iter),
         _resolve_impl(x, impl),
@@ -335,13 +345,31 @@ def kmeans(
     return c, labels[:n]
 
 
+def _dispatch_mesh(n_rows: int, chunks: int | None = None):
+    """The active mesh iff the padded workload divides across its devices —
+    automatic multi-chip dispatch, the TPU-native analogue of the
+    reference's GPU/CPU fallback ladder (gpu_ops.py:33-46)."""
+    from ..parallel.mesh import active_mesh
+
+    mesh = active_mesh()
+    if mesh is None or mesh.devices.size <= 1:
+        return None
+    nd = mesh.devices.size
+    if n_rows % nd != 0 or (chunks is not None and chunks % nd != 0):
+        return None
+    return mesh
+
+
 # --------------------------------------------------------- chunked kmeans
 
 
-@functools.partial(
-    jax.jit, static_argnames=("num_chunks", "k", "iters", "impl")
-)
-def _kmeans_chunked_jit(x, n_valid, seed, num_chunks: int, k: int, iters: int, impl: str):
+def _chunked_core(x, n_valid, seed, num_chunks: int, k: int, iters: int,
+                  impl: str, chunk_offset=0):
+    """Chunked-clustering core shared by the single-device jit and the
+    mesh-sharded path (parallel/distributed.sharded_kmeans_chunked), where
+    ``chunk_offset`` is the shard's first GLOBAL chunk index — it keys both
+    the per-chunk PRNG fold and the label offsets, so results are identical
+    for any device count."""
     p, d = x.shape
     chunk = p // num_chunks
     xc = x.reshape(num_chunks, chunk, d)
@@ -349,9 +377,10 @@ def _kmeans_chunked_jit(x, n_valid, seed, num_chunks: int, k: int, iters: int, i
 
     def one(args):
         xb, cidx = args
-        valid = (cidx * chunk + row) < n_valid
+        gcidx = cidx + chunk_offset
+        valid = (gcidx * chunk + row) < n_valid
         init = init_centroids(
-            xb, k, jax.random.fold_in(jax.random.PRNGKey(seed), cidx), valid=valid
+            xb, k, jax.random.fold_in(jax.random.PRNGKey(seed), gcidx), valid=valid
         )
 
         def body(c, _):
@@ -363,8 +392,15 @@ def _kmeans_chunked_jit(x, n_valid, seed, num_chunks: int, k: int, iters: int, i
         return c, assign(xb, c, impl=impl)
 
     cents, labels = jax.lax.map(one, (xc, jnp.arange(num_chunks)))
-    offs = (jnp.arange(num_chunks) * k)[:, None]
+    offs = ((jnp.arange(num_chunks) + chunk_offset) * k)[:, None]
     return cents.reshape(num_chunks * k, d), (labels + offs).reshape(-1)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("num_chunks", "k", "iters", "impl")
+)
+def _kmeans_chunked_jit(x, n_valid, seed, num_chunks: int, k: int, iters: int, impl: str):
+    return _chunked_core(x, n_valid, seed, num_chunks, k, iters, impl)
 
 
 def kmeans_chunked(
@@ -389,6 +425,16 @@ def kmeans_chunked(
     chunk = next_pow2(chunk, floor=max(256, k_per_chunk))
     p = chunk * num_chunks
     xp = pad_rows(x, p, PAD_POS)
+    if impl == "auto":
+        mesh = _dispatch_mesh(p, chunks=num_chunks)
+        if mesh is not None:
+            from ..parallel.distributed import sharded_kmeans_chunked
+
+            c, labels = sharded_kmeans_chunked(
+                xp, jnp.int32(n), int(num_chunks), int(k_per_chunk),
+                int(max_iter), int(seed), mesh,
+            )
+            return c, labels[:n]
     c, labels = _kmeans_chunked_jit(
         xp, jnp.int32(n), int(seed), int(num_chunks), int(k_per_chunk),
         int(max_iter), _resolve_impl(x, impl),

@@ -41,25 +41,38 @@ def sharded_sor_mask(
     halo: int = 4096,
     axis: str = "data",
 ) -> jax.Array:
-    """Keep-mask over globally sharded positions [N,3] (N % n_dev == 0).
+    """Keep-mask over positions [N,3], computed over the device mesh.
 
-    The returned mask is in the ORIGINAL input order and sharded like the
-    input.  ``halo`` is the fixed per-boundary exchange width; boundary
-    cells denser than the halo are truncated (documented approximation, same
-    spirit as the reference's 27-cell ring cutoff).
+    Any N is accepted: the array is padded internally to a multiple of the
+    mesh size with sentinel rows that are excluded from candidates and from
+    the global mu/sigma.  The returned mask is in the ORIGINAL input order.
+    ``halo`` is the fixed per-boundary exchange width; boundary cells denser
+    than the halo are truncated (documented approximation, same spirit as
+    the reference's 27-cell ring cutoff, gpu_ops.py:130-176).
     """
+    from ..ops.padding import PAD_POS
+
     n = pos.shape[0]
     n_dev = mesh.devices.size
-    halo = min(halo, n // n_dev)
+    pad = (-n) % n_dev
+    if pad:
+        pos = jnp.pad(pos, ((0, pad), (0, 0)), constant_values=PAD_POS)
+    np_ = n + pad
+    halo = min(halo, np_ // n_dev)
 
     # Global spatial sort: x-major key makes shard boundaries x-slabs.
-    mins = jnp.min(pos, axis=0)
-    maxs = jnp.max(pos, axis=0)
+    # Sentinel pad rows carry the max key and sort to the end.
+    real = jnp.arange(np_) < n
+    big = jnp.float32(PAD_POS)
+    mins = jnp.min(jnp.where(real[:, None], pos, big), axis=0)
+    maxs = jnp.max(jnp.where(real[:, None], pos, -big), axis=0)
     extent = jnp.where(maxs - mins > 0, maxs - mins, 1.0)
     tcoord = jnp.clip((pos - mins) / extent * 1023.0, 0, 1023).astype(jnp.int32)
     key = (tcoord[:, 0] << 20) | (tcoord[:, 1] << 10) | tcoord[:, 2]
+    key = jnp.where(real, key, jnp.int32(0x7FFFFFFF))
     order = jnp.argsort(key)  # distributed sort under jit
     spos = pos[order]
+    n_valid = jnp.int32(n)
 
     spec = P(axis, None)
 
@@ -71,7 +84,7 @@ def sharded_sor_mask(
         check_vma=False,
     )
     def local_sor(block):
-        from ..ops.padding import PAD_POS, next_pow2, pad_rows
+        from ..ops.padding import next_pow2, pad_rows
 
         # ring halo exchange: neighbor shards' boundary slabs
         left_edge = block[:halo]  # my lowest keys -> send to left neighbor
@@ -87,31 +100,52 @@ def sharded_sor_mask(
             right_edge, axis, [(i, (i + 1) % nd) for i in range(nd)]
         )
         b = block.shape[0]
+        # pad rows sorted to the tail of the LAST shards; a candidate row is
+        # real iff its global sorted index < n_valid
+        grow = idx * b + jnp.arange(b)
+        local_real = grow < n_valid
         ext = jnp.concatenate([from_left, block, from_right], axis=0)
         # wrap-around halos at the ring ends are invalid candidates
         valid = jnp.concatenate([
-            jnp.broadcast_to(idx != 0, (halo,)),
-            jnp.ones(b, bool),
-            jnp.broadcast_to(idx != nd - 1, (halo,)),
+            jnp.broadcast_to(idx != 0, (halo,)) & ((grow[0] - halo + jnp.arange(halo)) < n_valid),
+            local_real,
+            jnp.broadcast_to(idx != nd - 1, (halo,)) & ((grow[-1] + 1 + jnp.arange(halo)) < n_valid),
         ])
         p = next_pow2(ext.shape[0])
         ext = pad_rows(ext, p, PAD_POS)
         valid = pad_rows(valid, p, False)
-        md = sor_ops._sor_md_masked(ext, valid, min(k, 50), 64, 2048)[halo : halo + b]
-        # global mean/std via psum
-        s1 = jax.lax.psum(jnp.sum(md), axis)
-        s2 = jax.lax.psum(jnp.sum(md * md), axis)
-        cnt = jax.lax.psum(jnp.asarray(b, jnp.float32), axis)
+        # same Morton-window method as the single-device path (ops/sor.py) so
+        # isolated flyers get their TRUE neighbor distances (the grid method's
+        # ring-reach fill underestimates points with no in-ring neighbors)
+        md = sor_ops._sor_md_window(ext, valid, min(k, 50), approx=True)[halo : halo + b]
+        # global mean/std via psum over REAL rows only
+        mdv = jnp.where(local_real, md, 0.0)
+        s1 = jax.lax.psum(jnp.sum(mdv), axis)
+        s2 = jax.lax.psum(jnp.sum(mdv * mdv), axis)
+        cnt = jnp.maximum(n_valid.astype(jnp.float32), 1.0)
         mean = s1 / cnt
         std = jnp.sqrt(jnp.maximum(s2 / cnt - mean * mean, 0.0))
-        return md < mean + sigma * std
+        return (md < mean + sigma * std) & local_real
 
     mask_sorted = local_sor(jax.device_put(spos, NamedSharding(mesh, spec)))
-    # unsort to original order
-    return jnp.zeros(n, bool).at[order].set(mask_sorted)
+    # unsort to original order, drop pad rows
+    return jnp.zeros(np_, bool).at[order].set(mask_sorted)[:n]
 
 
 # -------------------------------------------------------- distributed kmeans
+
+
+def mesh_impl(mesh: Mesh) -> str:
+    """Resolve the kernel impl from the MESH's devices, not the default
+    backend — inside ``shard_map`` traced arrays carry no ``.devices()``, so
+    ``_resolve_impl(auto)`` would fall back to ``jax.default_backend()`` and
+    pick the Pallas-TPU path even on a virtual CPU mesh (the round-1 bug).
+    Reference analogue: automatic GPU/CPU dispatch, gpu_ops.py:33-46."""
+    platform = next(iter(mesh.devices.flat)).platform
+    return "pallas" if platform in ("tpu", "axon") else "xla"
+
+
+_INIT_POOL_PER_SHARD = 8192
 
 
 def sharded_kmeans(
@@ -121,32 +155,102 @@ def sharded_kmeans(
     max_iter: int = 10,
     seed: int = 0,
     axis: str = "data",
+    n_valid: jax.Array | None = None,
 ):
     """K-Means over data sharded on the mesh; centroids all-reduced.
+
+    Init is de-replicated: each shard contributes a strided subsample
+    (<=8k points) to an ``all_gather``'d pool, and k-means++ runs on the
+    small pool — O(pool) replicated work instead of O(N), so the full
+    array is never materialized per device.
+
+    ``n_valid``: rows at global index >= n_valid are padding — excluded
+    from the init pool and routed to the update discard bin (rows must be
+    padded at the END, as ops.padding.pad_rows does).
 
     Returns (centroids [K,D] replicated, labels [N] sharded like x).
     """
     xs = jax.device_put(x, NamedSharding(mesh, P(axis, None)))
-    key = jax.random.PRNGKey(seed)
-    init = km.init_centroids(x, k, key)  # small; computed replicated
+    impl = mesh_impl(mesh)
+    n_dev = mesh.devices.size
+    n_local = x.shape[0] // n_dev
+    sub = min(_INIT_POOL_PER_SHARD, n_local)
+    stride = max(1, n_local // sub)
 
     @functools.partial(
         shard_map,
         mesh=mesh,
-        in_specs=(P(axis, None), P(None, None)),
+        in_specs=(P(axis, None),),
         out_specs=(P(None, None), P(axis)),
         check_vma=False,
     )
-    def run(xb, c0):
+    def run(xb):
+        grow = jax.lax.axis_index(axis) * n_local + jnp.arange(n_local)
+        valid = None if n_valid is None else grow < n_valid
+        sample = jax.lax.slice(xb, (0, 0), (sub * stride, xb.shape[1]),
+                               (stride, 1))
+        pool = jax.lax.all_gather(sample, axis, axis=0, tiled=True)
+        if valid is not None:
+            svalid = jax.lax.slice(valid, (0,), (sub * stride,), (stride,))
+            pvalid = jax.lax.all_gather(svalid, axis, axis=0, tiled=True)
+            # replace pad rows with the first valid row (duplicates are
+            # harmless for k-means++: zero distance, never re-picked)
+            first = jnp.argmax(pvalid)
+            pool = jnp.where(pvalid[:, None], pool, pool[first][None, :])
+        c0 = km.init_centroids(pool, k, jax.random.PRNGKey(seed))
+
         def body(c, _):
-            labels = km._assign_xla(xb, c)
-            c, _ = km.update(xb, labels, k, c, axis_name=axis)
+            labels = km.assign(xb, c, impl=impl)
+            c, _ = km.update(xb, labels, k, c, axis_name=axis, valid=valid,
+                             impl=impl)
             return c, None
 
         c, _ = jax.lax.scan(body, c0, None, length=max_iter)
-        return c, km._assign_xla(xb, c)
+        return c, km.assign(xb, c, impl=impl)
 
-    return run(xs, init)
+    return run(xs)
+
+
+def sharded_kmeans_chunked(
+    x: jax.Array,
+    n_valid,
+    num_chunks: int,
+    k_per_chunk: int,
+    max_iter: int,
+    seed: int,
+    mesh: Mesh,
+    axis: str = "data",
+):
+    """Locality-chunked K-Means (the SOG shN palette strategy) with the
+    CHUNK axis sharded over the mesh — chunks are independent fits, so this
+    is embarrassingly parallel; each device runs its local chunks with the
+    global chunk index keying the PRNG and label offsets, making the result
+    identical to the single-device path for any device count.
+
+    ``x`` is the padded [num_chunks*chunk, D] array (rows beyond n_valid are
+    padding); num_chunks % mesh size must be 0.
+    Returns (centroids [num_chunks*k, D], labels [N] global-palette-indexed).
+    """
+    impl = mesh_impl(mesh)
+    n_dev = mesh.devices.size
+    local_chunks = num_chunks // n_dev
+    xs = jax.device_put(x, NamedSharding(mesh, P(axis, None)))
+
+    @functools.partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P(axis, None),),
+        out_specs=(P(axis, None), P(axis)),
+        check_vma=False,
+    )
+    def run(xb):
+        off = jax.lax.axis_index(axis) * local_chunks
+        return km._chunked_core(
+            xb, n_valid, seed, local_chunks, k_per_chunk, max_iter, impl,
+            chunk_offset=off,
+        )
+
+    return run(xs)
 
 
 # ----------------------------------------------------------- sharded render
@@ -193,18 +297,26 @@ def sharded_render(cloud, cam, mesh: Mesh, axis: str = "data", **kw):
         )
         acc = rz.render(white, cam, bg=jnp.zeros(3), sh_degree=0, **kw)
         trans = 1.0 - jnp.clip(acc[..., :1], 0.0, 1.0)
-        part = jnp.concatenate([rgb, trans], axis=-1)[None]  # [1,H,W,4]
-        parts = jax.lax.all_gather(part, axis, axis=0, tiled=True)  # [D,H,W,4]
-
-        def fold(carry, p):
-            c_rgb, c_t = carry
-            return (c_rgb + c_t * p[..., :3], c_t * p[..., 3:]), None
-
-        (out_rgb, out_t), _ = jax.lax.scan(
-            fold, (jnp.zeros_like(parts[0, ..., :3]), jnp.ones_like(parts[0, ..., 3:])),
-            parts,
+        # out = sum_i (prod_{j<i} t_j) * rgb_i.  The exclusive prefix product
+        # of transmittance is computed with a log2(D)-step Hillis-Steele scan
+        # over ppermutes of ONE [H,W,1] plane, then a commutative psum folds
+        # the weighted partials — replaces the round-1 full [D,H,W,4]
+        # all_gather (quadratic-in-devices traffic at real resolutions).
+        nd = jax.lax.axis_size(axis)
+        idx = jax.lax.axis_index(axis)
+        v = trans
+        s = 1
+        while s < nd:
+            prev = jax.lax.ppermute(
+                v, axis, [(i, (i + s) % nd) for i in range(nd)]
+            )
+            v = jnp.where(idx >= s, prev * v, v)
+            s *= 2
+        prev = jax.lax.ppermute(
+            v, axis, [(i, (i + 1) % nd) for i in range(nd)]
         )
-        return out_rgb
+        prefix = jnp.where(idx == 0, jnp.ones_like(trans), prev)
+        return jax.lax.psum(prefix * rgb, axis)
 
     put = lambda a: jax.device_put(a, NamedSharding(mesh, P(axis, *([None] * (a.ndim - 1)))))
     return run(

@@ -28,6 +28,43 @@ def make_mesh(devices=None, axis_names=("data",)) -> Mesh:
     return Mesh(devices.reshape(per), axis_names)
 
 
+# --------------------------------------------------------- active mesh context
+#
+# The pipeline dispatches to the multi-chip code paths automatically whenever
+# more than one device is visible — the TPU-native analogue of the
+# reference's automatic GPU/CPU backend dispatch
+# (/root/reference/gsconverter/processing/gpu_ops.py:33-46).  ``set_active_mesh``
+# overrides (a specific mesh, or None to force single-device ops).
+
+_ACTIVE_MESH: Mesh | None = None
+_MESH_OVERRIDDEN = False
+
+
+def set_active_mesh(mesh: Mesh | None) -> None:
+    """Pin the pipeline to a specific mesh (or force single-device with None)."""
+    global _ACTIVE_MESH, _MESH_OVERRIDDEN
+    _ACTIVE_MESH = mesh
+    _MESH_OVERRIDDEN = True
+
+
+def clear_active_mesh() -> None:
+    """Restore automatic mesh resolution."""
+    global _ACTIVE_MESH, _MESH_OVERRIDDEN
+    _ACTIVE_MESH = None
+    _MESH_OVERRIDDEN = False
+
+
+def active_mesh() -> Mesh | None:
+    """The mesh the pipeline should run on: the pinned one, else an
+    auto-created 1-D mesh over all devices when more than one exists."""
+    global _ACTIVE_MESH
+    if _MESH_OVERRIDDEN:
+        return _ACTIVE_MESH
+    if _ACTIVE_MESH is None and len(jax.devices()) > 1:
+        _ACTIVE_MESH = make_mesh()
+    return _ACTIVE_MESH
+
+
 def data_sharding(mesh: Mesh, ndim: int = 1, axis: str = "data") -> NamedSharding:
     """Shard the leading (splat) axis; replicate the rest."""
     return NamedSharding(mesh, P(axis, *([None] * (ndim - 1))))

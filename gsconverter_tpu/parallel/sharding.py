@@ -51,6 +51,30 @@ def pad_cloud(cloud: SplatCloud, multiple: int) -> tuple[SplatCloud, int]:
     )
 
 
+def place_cloud(cloud: SplatCloud, mesh: Mesh, axis: str = "data") -> SplatCloud:
+    """Place every leaf sharded over N WITHOUT padding (uneven last shard is
+    fine for GSPMD element-wise stages; ops needing even shards — SOR halos,
+    chunked K-Means — pad internally)."""
+
+    def place(a):
+        if a is None:
+            return None
+        spec = P(axis, *([None] * (a.ndim - 1)))
+        return jax.device_put(a, NamedSharding(mesh, spec))
+
+    return cloud.replace(
+        pos=place(cloud.pos),
+        sh_dc=place(cloud.sh_dc),
+        sh_rest=place(cloud.sh_rest),
+        opacity=place(cloud.opacity),
+        log_scale=place(cloud.log_scale),
+        quat=place(cloud.quat),
+        normal=place(cloud.normal),
+        rgb=place(cloud.rgb),
+        extras={k: place(v) for k, v in cloud.extras.items()},
+    )
+
+
 def shard_cloud(cloud: SplatCloud, mesh: Mesh, axis: str = "data") -> tuple[SplatCloud, int]:
     """Pad to the mesh size and place every leaf sharded over N."""
     n_dev = mesh.devices.size
