@@ -4,14 +4,25 @@ The reference (processing/gpu_ops.py:58-96, 178-191) runs a scalar
 brute-force assign loop (O(N*K*D) per element) and an atomic-add update.
 TPU-first redesign:
 
+  - **fused Lloyd step** (the hot path): one Pallas kernel computes labels
+    AND the segment sums/counts in a single pass over x, with the FULL
+    centroid set resident in VMEM (K <= 2048 covers every workload the
+    pipeline generates; larger K falls back to the tiled two-kernel path).
+    Distance and one-hot matmuls run on the MXU in bf16 with f32
+    accumulation by default — splat attributes are headed for 8-bit
+    codebooks, so the ~0.4% bf16 input rounding is far below the
+    quantization floor (``precision="f32"`` for exact parity tests).
+    This replaced a two-kernel (assign, update) design whose [BN=512]x
+    [BK=256] grid of 8k steps was per-step-overhead-bound at ~3% MXU
+    utilization (round-1 measurement: 83 ms/iter; fused: ~7 ms/iter).
   - **assign**: argmin_k ||x - c||^2 computed as x2 - 2 x@c^T + c2 — the
-    dominant term is a [BN,D]x[D,BK] matmul on the MXU.  Implemented as a
-    Pallas kernel tiling N and K with a running best-(dist,idx) accumulator
-    in the output block (revisited across the K grid axis), plus an XLA
-    fallback with the same chunking for CPU/interpret tests.
-  - **update**: segment-sum of points and counts; with ``axis_name`` the
-    sums/counts are ``psum``'d across the device mesh — the distributed
-    K-Means required by SURVEY.md §2.4 ("K-Means centroids all-reduced").
+    dominant term is a [BN,D]x[D,BK] matmul on the MXU; K-tiled kernel
+    kept for the K > 2048 fallback, plus an XLA fallback with the same
+    chunking for CPU/interpret tests.
+  - **update**: segment-sum of points and counts via one-hot MXU matmuls;
+    with ``axis_name`` the sums/counts are ``psum``'d across the device
+    mesh — the distributed K-Means required by SURVEY.md §2.4 ("K-Means
+    centroids all-reduced").
   - fixed ``iters`` with no convergence check (parity with the reference's
     contract, gpu_ops.py:27,186); empty clusters keep their previous
     centroid (divergence: the reference zeroes them, gpu_ops.py:76-96).
@@ -239,10 +250,132 @@ def update(x: jax.Array, labels: jax.Array, k: int, prev: jax.Array,
     return jnp.where(counts[:, None] > 0, new, prev), counts
 
 
+# -------------------------------------------------------- fused lloyd step
+#
+# labels + segment sums/counts in ONE pass over x: per [BN, 128] block, the
+# kernel runs the distance matmul against the VMEM-resident [128, KP]
+# transposed centroids, takes the row argmin, builds the [KP, BN] one-hot,
+# and accumulates one-hot @ x into the revisited [KP, 128] sums block.
+# x is read from HBM exactly once per Lloyd iteration.
+
+_RESIDENT_K = 2048  # max padded K the fused kernel keeps resident in VMEM
+
+
+def _lloyd_kernel(nv_ref, x_ref, ct_ref, c2_ref, sums_ref, cnt_ref, lab_ref,
+                  *, bn: int, kp: int, dtype):
+    i = pl.program_id(0)
+    xf = x_ref[:]              # [BN, 128] f32
+    x = xf.astype(dtype)
+    d = c2_ref[:] - 2.0 * jnp.dot(x, ct_ref[:], preferred_element_type=jnp.float32)
+    lab = jnp.argmin(d, axis=1).astype(jnp.int32)      # [BN]
+    lab_ref[:] = lab[:, None]
+    # rows at global index >= n_valid are padding: label -1 matches no
+    # one-hot row, so they contribute nothing to sums/counts
+    gid = i * bn + jax.lax.broadcasted_iota(jnp.int32, (bn, 1), 0)[:, 0]
+    labm = jnp.where(gid < nv_ref[0, 0], lab, -1)
+    rows = jax.lax.broadcasted_iota(jnp.int32, (kp, bn), 0)
+    onehot = (rows == labm[None, :]).astype(dtype)     # [KP, BN] exact 0/1
+    psums = jnp.dot(onehot, x, preferred_element_type=jnp.float32)  # [KP, 128]
+    pcnt = jnp.sum(onehot.astype(jnp.float32), axis=1)[:, None]
+
+    @pl.when(i == 0)
+    def _():
+        sums_ref[:] = psums
+        cnt_ref[:] = pcnt
+
+    @pl.when(i > 0)
+    def _():
+        sums_ref[:] += psums
+        cnt_ref[:] += pcnt
+
+
+def _lloyd_pallas(x, c, k: int, n_valid, interpret: bool, precision: str):
+    n, d = x.shape
+    kp = max(128, ((k + 127) // 128) * 128)
+    bn = 1024 if kp <= 1024 else 512
+    dtype = jnp.bfloat16 if precision == "bf16" else jnp.float32
+    xp = _pad_axis(_pad_axis(x, _LANE, 1), bn, 0)
+    np_, dp = xp.shape
+    cp = _pad_axis(_pad_axis(c, _LANE, 1), kp, 0, value=3e8)
+    cpt = jnp.where(jnp.arange(dp)[None, :] < d, cp, 0.0).T  # [128, kp]
+    c2 = jnp.sum(cpt * cpt, axis=0)[None, :].astype(jnp.float32)
+    nv = jnp.full((1, 1), n, jnp.int32) if n_valid is None else (
+        jnp.asarray(n_valid, jnp.int32).reshape(1, 1))
+    kern = functools.partial(_lloyd_kernel, bn=bn, kp=kp, dtype=dtype)
+    sums, cnt, lab = pl.pallas_call(
+        kern,
+        grid=(np_ // bn,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((bn, dp), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((dp, kp), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, kp), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((kp, dp), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((kp, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bn, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((kp, dp), jnp.float32),
+            jax.ShapeDtypeStruct((kp, 1), jnp.float32),
+            jax.ShapeDtypeStruct((np_, 1), jnp.int32),
+        ),
+        interpret=interpret,
+    )(nv, xp, cpt.astype(dtype), c2)
+    return sums[:k, :d], cnt[:k, 0], lab[:n, 0]
+
+
+def _lloyd_xla(x, c, k: int, n_valid):
+    """Blocked XLA fallback with identical semantics (CPU meshes, tests)."""
+    n, d = x.shape
+    bn = min(8192, max(256, n))
+    xp = _pad_axis(x, bn, 0)
+    nv = jnp.int32(n) if n_valid is None else jnp.asarray(n_valid, jnp.int32)
+    c2 = jnp.sum(c * c, axis=1)
+
+    def blk(carry, args):
+        sums, cnt = carry
+        xb, i0 = args
+        dist = c2[None, :] - 2.0 * xb @ c.T
+        lab = jnp.argmin(dist, axis=1).astype(jnp.int32)
+        valid = (i0 + jnp.arange(bn)) < nv
+        onehot = jnp.where(
+            valid[:, None], lab[:, None] == jnp.arange(k)[None, :], False
+        ).astype(jnp.float32)                              # [bn, k]
+        return (sums + onehot.T @ xb, cnt + jnp.sum(onehot, axis=0)), lab
+
+    nb = xp.shape[0] // bn
+    (sums, cnt), labs = jax.lax.scan(
+        blk,
+        (jnp.zeros((k, d), jnp.float32), jnp.zeros((k,), jnp.float32)),
+        (xp.reshape(nb, bn, d), jnp.arange(nb) * bn),
+    )
+    return sums, cnt, labs.reshape(-1)[:n]
+
+
+def lloyd_step(x, c, k: int, n_valid=None, impl: str = "auto",
+               precision: str = "bf16"):
+    """One fused Lloyd iteration: (sums [k,D], counts [k], labels [N]).
+
+    Callers divide (and optionally ``psum`` across a mesh first):
+    ``new_c = where(counts > 0, sums / max(counts, 1), prev_c)``.
+    """
+    impl = _resolve_impl(x, impl)
+    kp = max(128, ((k + 127) // 128) * 128)
+    if impl in ("pallas", "pallas_interpret") and kp <= _RESIDENT_K \
+            and x.shape[1] <= _LANE:
+        return _lloyd_pallas(
+            x, c, k, n_valid, interpret=(impl == "pallas_interpret"),
+            precision=precision,
+        )
+    return _lloyd_xla(x, c, k, n_valid)
+
+
 # ------------------------------------------------------------------ driver
 
 
-_INIT_SUBSAMPLE = 65536
+_INIT_SUBSAMPLE = 16384
 
 
 def init_centroids(x: jax.Array, k: int, key: jax.Array,
@@ -256,11 +389,11 @@ def init_centroids(x: jax.Array, k: int, key: jax.Array,
     min-distance accumulator in a fori_loop.  ``valid`` masks padded rows
     out of the sampling distribution.
 
-    The k sequential D^2-sampling steps each sweep the candidate pool, so
-    the pool is capped at a uniform random subsample of 64k points (the
-    sklearn-style practice) — at 1M points this cuts init from ~0.8s to
-    ~50ms on a v5e chip without a measurable quality change over 10 Lloyd
-    iterations.  ``n_valid`` (traced) enables the subsampling path.
+    The D^2-sampling rounds each sweep the candidate pool, so the pool is
+    capped at a uniform random subsample of 16k points (the sklearn-style
+    practice; >=16x oversampling at k=1024) — at 1M points this cuts init
+    from ~0.8s to ~10ms on-chip without a measurable quality change over
+    10 Lloyd iterations.  ``n_valid`` (traced) enables the subsampling path.
     """
     if n_valid is not None and x.shape[0] > _INIT_SUBSAMPLE > k:
         skey, key = jax.random.split(key)
@@ -275,36 +408,57 @@ def init_centroids(x: jax.Array, k: int, key: jax.Array,
     d2 = jnp.sum((x - first[None, :]) ** 2, axis=1)
     if valid is not None:
         d2 = jnp.where(valid, d2, 0.0)
-    keys = jax.random.split(key, k)
 
-    def body(i, state):
+    # Over-sampling: draw m candidates per round (k-means||-style) so the
+    # serial chain is ~128 rounds instead of k — at k=1024 the sequential
+    # loop was latency-bound at ~50 ms on-chip; batched it's ~6 ms.  Within
+    # a round the m draws share one D^2 distribution (duplicates are
+    # possible but vanishingly rare on a 64k pool and merely yield an
+    # empty cluster later).
+    m = max(1, k // 128)
+    rounds = -(-(k - 1) // m)
+    keys = jax.random.split(key, rounds)
+    x2 = jnp.sum(x * x, axis=1)
+
+    def body(r, state):
         centroids, d2 = state
-        p = d2 / jnp.maximum(jnp.sum(d2), 1e-30)
-        idx = jax.random.categorical(keys[i], jnp.log(jnp.maximum(p, 1e-30)))
-        c = x[idx]
-        centroids = centroids.at[i].set(c)
-        nd2 = jnp.minimum(d2, jnp.sum((x - c[None, :]) ** 2, axis=1))
+        logits = jnp.log(jnp.maximum(d2, 1e-30))
+        idx = jax.random.categorical(keys[r], logits, shape=(m,))
+        c = x[idx]                                       # [m, D]
+        off = jnp.minimum(1 + r * m, k - m)
+        centroids = jax.lax.dynamic_update_slice(centroids, c, (off, 0))
+        dc = x2[:, None] - 2.0 * x @ c.T + jnp.sum(c * c, axis=1)[None, :]
+        nd2 = jnp.minimum(d2, jnp.min(dc, axis=1))
         if valid is not None:
             nd2 = jnp.where(valid, nd2, 0.0)
         return centroids, nd2
 
-    centroids, _ = jax.lax.fori_loop(1, k, body, (centroids, d2))
+    centroids, _ = jax.lax.fori_loop(0, rounds, body, (centroids, d2))
     return centroids
 
 
-@functools.partial(jax.jit, static_argnames=("k", "iters", "impl"))
-def _kmeans_jit(x, n_valid, seed, k, iters, impl):
+def _centroid_means(sums, counts, prev):
+    new = sums / jnp.maximum(counts, 1.0)[:, None]
+    return jnp.where(counts[:, None] > 0, new, prev)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "iters", "impl", "precision"))
+def _kmeans_jit(x, n_valid, seed, k, iters, impl, precision):
     valid = jnp.arange(x.shape[0]) < n_valid
     init = init_centroids(x, k, jax.random.PRNGKey(seed), valid=valid,
                           n_valid=n_valid)
 
     def body(c, _):
-        labels = assign(x, c, impl=impl)
-        c, _ = update(x, labels, k, c, valid=valid, impl=impl)
-        return c, None
+        sums, counts, _ = lloyd_step(x, c, k, n_valid=n_valid, impl=impl,
+                                     precision=precision)
+        return _centroid_means(sums, counts, c), None
 
     c, _ = jax.lax.scan(body, init, None, length=iters)
-    return c, assign(x, c, impl=impl)
+    # final labels against the final centroids: one more fused pass (the
+    # extra one-hot matmul is noise next to a separate assign program)
+    _, _, labels = lloyd_step(x, c, k, n_valid=n_valid, impl=impl,
+                              precision=precision)
+    return c, labels
 
 
 def kmeans(
@@ -313,6 +467,7 @@ def kmeans(
     max_iter: int = 10,
     seed: int = 0,
     impl: str = "auto",
+    precision: str = "bf16",
 ):
     """Lloyd iterations with fixed ``max_iter`` (reference gpu_ops.kmeans contract).
 
@@ -335,12 +490,12 @@ def kmeans(
 
             c, labels = sharded_kmeans(
                 xp, int(k), mesh, max_iter=int(max_iter), seed=int(seed),
-                n_valid=jnp.int32(n),
+                n_valid=jnp.int32(n), precision=precision,
             )
             return c, labels[:n]
     c, labels = _kmeans_jit(
         xp, jnp.int32(n), jnp.uint32(seed), int(k), int(max_iter),
-        _resolve_impl(x, impl),
+        _resolve_impl(x, impl), precision,
     )
     return c, labels[:n]
 
@@ -364,7 +519,7 @@ def _dispatch_mesh(n_rows: int, chunks: int | None = None):
 
 
 def _chunked_core(x, n_valid, seed, num_chunks: int, k: int, iters: int,
-                  impl: str, chunk_offset=0):
+                  impl: str, chunk_offset=0, precision: str = "bf16"):
     """Chunked-clustering core shared by the single-device jit and the
     mesh-sharded path (parallel/distributed.sharded_kmeans_chunked), where
     ``chunk_offset`` is the shard's first GLOBAL chunk index — it keys both
@@ -379,17 +534,20 @@ def _chunked_core(x, n_valid, seed, num_chunks: int, k: int, iters: int,
         xb, cidx = args
         gcidx = cidx + chunk_offset
         valid = (gcidx * chunk + row) < n_valid
+        nv_local = jnp.clip(n_valid - gcidx * chunk, 0, chunk)
         init = init_centroids(
             xb, k, jax.random.fold_in(jax.random.PRNGKey(seed), gcidx), valid=valid
         )
 
         def body(c, _):
-            labels = assign(xb, c, impl=impl)
-            c, _ = update(xb, labels, k, c, valid=valid, impl=impl)
-            return c, None
+            sums, counts, _ = lloyd_step(xb, c, k, n_valid=nv_local,
+                                         impl=impl, precision=precision)
+            return _centroid_means(sums, counts, c), None
 
         c, _ = jax.lax.scan(body, init, None, length=iters)
-        return c, assign(xb, c, impl=impl)
+        _, _, labels = lloyd_step(xb, c, k, n_valid=nv_local, impl=impl,
+                                  precision=precision)
+        return c, labels
 
     cents, labels = jax.lax.map(one, (xc, jnp.arange(num_chunks)))
     offs = ((jnp.arange(num_chunks) + chunk_offset) * k)[:, None]
@@ -397,10 +555,12 @@ def _chunked_core(x, n_valid, seed, num_chunks: int, k: int, iters: int,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("num_chunks", "k", "iters", "impl")
+    jax.jit, static_argnames=("num_chunks", "k", "iters", "impl", "precision")
 )
-def _kmeans_chunked_jit(x, n_valid, seed, num_chunks: int, k: int, iters: int, impl: str):
-    return _chunked_core(x, n_valid, seed, num_chunks, k, iters, impl)
+def _kmeans_chunked_jit(x, n_valid, seed, num_chunks: int, k: int, iters: int,
+                        impl: str, precision: str):
+    return _chunked_core(x, n_valid, seed, num_chunks, k, iters, impl,
+                         precision=precision)
 
 
 def kmeans_chunked(
@@ -410,6 +570,7 @@ def kmeans_chunked(
     max_iter: int = 10,
     seed: int = 0,
     impl: str = "auto",
+    precision: str = "bf16",
 ):
     """Locality-chunked K-Means (the SOG shN palette strategy, reference
     sog.py:526-549) as ONE jit program: ``lax.map`` over equal-size chunks,
@@ -432,11 +593,11 @@ def kmeans_chunked(
 
             c, labels = sharded_kmeans_chunked(
                 xp, jnp.int32(n), int(num_chunks), int(k_per_chunk),
-                int(max_iter), int(seed), mesh,
+                int(max_iter), int(seed), mesh, precision=precision,
             )
             return c, labels[:n]
     c, labels = _kmeans_chunked_jit(
         xp, jnp.int32(n), int(seed), int(num_chunks), int(k_per_chunk),
-        int(max_iter), _resolve_impl(x, impl),
+        int(max_iter), _resolve_impl(x, impl), precision,
     )
     return c, labels[:n]

@@ -156,6 +156,7 @@ def sharded_kmeans(
     seed: int = 0,
     axis: str = "data",
     n_valid: jax.Array | None = None,
+    precision: str = "bf16",
 ):
     """K-Means over data sharded on the mesh; centroids all-reduced.
 
@@ -185,13 +186,18 @@ def sharded_kmeans(
         check_vma=False,
     )
     def run(xb):
-        grow = jax.lax.axis_index(axis) * n_local + jnp.arange(n_local)
-        valid = None if n_valid is None else grow < n_valid
+        grow0 = jax.lax.axis_index(axis) * n_local
+        # padding is at the global END, so each shard's valid rows are a
+        # prefix: local n_valid = clip(global - shard offset)
+        nv_local = None if n_valid is None else jnp.clip(
+            n_valid - grow0, 0, n_local)
         sample = jax.lax.slice(xb, (0, 0), (sub * stride, xb.shape[1]),
                                (stride, 1))
         pool = jax.lax.all_gather(sample, axis, axis=0, tiled=True)
-        if valid is not None:
-            svalid = jax.lax.slice(valid, (0,), (sub * stride,), (stride,))
+        if nv_local is not None:
+            svalid = jax.lax.slice(
+                grow0 + jnp.arange(n_local) < n_valid, (0,),
+                (sub * stride,), (stride,))
             pvalid = jax.lax.all_gather(svalid, axis, axis=0, tiled=True)
             # replace pad rows with the first valid row (duplicates are
             # harmless for k-means++: zero distance, never re-picked)
@@ -200,10 +206,11 @@ def sharded_kmeans(
         c0 = km.init_centroids(pool, k, jax.random.PRNGKey(seed))
 
         def body(c, _):
-            labels = km.assign(xb, c, impl=impl)
-            c, _ = km.update(xb, labels, k, c, axis_name=axis, valid=valid,
-                             impl=impl)
-            return c, None
+            sums, counts, _ = km.lloyd_step(
+                xb, c, k, n_valid=nv_local, impl=impl, precision=precision)
+            sums = jax.lax.psum(sums, axis)
+            counts = jax.lax.psum(counts, axis)
+            return km._centroid_means(sums, counts, c), None
 
         c, _ = jax.lax.scan(body, c0, None, length=max_iter)
         return c, km.assign(xb, c, impl=impl)
@@ -220,6 +227,7 @@ def sharded_kmeans_chunked(
     seed: int,
     mesh: Mesh,
     axis: str = "data",
+    precision: str = "bf16",
 ):
     """Locality-chunked K-Means (the SOG shN palette strategy) with the
     CHUNK axis sharded over the mesh — chunks are independent fits, so this
@@ -247,7 +255,7 @@ def sharded_kmeans_chunked(
         off = jax.lax.axis_index(axis) * local_chunks
         return km._chunked_core(
             xb, n_valid, seed, local_chunks, k_per_chunk, max_iter, impl,
-            chunk_offset=off,
+            chunk_offset=off, precision=precision,
         )
 
     return run(xs)

@@ -72,3 +72,36 @@ def test_kmeans_chunked():
     recon = np.asarray(c)[np.asarray(labels)]
     base = np.mean((x - x.mean(0)) ** 2)
     assert np.mean((recon - x) ** 2) < base * 0.7
+
+
+def test_lloyd_step_parity_pallas_interpret():
+    """Fused Lloyd kernel (f32) matches the blocked XLA fallback exactly."""
+    r = np.random.default_rng(7)
+    x = jnp.asarray(r.normal(0, 1, (900, 24)).astype(np.float32))
+    c = jnp.asarray(r.normal(0, 1, (130, 24)).astype(np.float32))
+    nv = jnp.int32(850)  # rows >= 850 are "padding"
+    s1, n1, l1 = km.lloyd_step(x, c, 130, n_valid=nv, impl="xla")
+    s2, n2, l2 = km.lloyd_step(x, c, 130, n_valid=nv,
+                               impl="pallas_interpret", precision="f32")
+    np.testing.assert_array_equal(np.asarray(l1)[:850], np.asarray(l2)[:850])
+    np.testing.assert_allclose(np.asarray(n1), np.asarray(n2))
+    np.testing.assert_allclose(np.asarray(s1), np.asarray(s2), rtol=1e-5,
+                               atol=1e-4)
+
+
+def test_lloyd_step_bf16_quality():
+    """bf16 matmuls: labels ~match f32 and the implied inertia is equal to
+    within bf16 input rounding."""
+    r = np.random.default_rng(8)
+    x = r.normal(0, 1, (2000, 9)).astype(np.float32)
+    c = x[r.choice(2000, 64, replace=False)]
+    _, _, lf = km.lloyd_step(jnp.asarray(x), jnp.asarray(c), 64, impl="xla")
+    _, _, lb = km.lloyd_step(jnp.asarray(x), jnp.asarray(c), 64,
+                             impl="pallas_interpret", precision="bf16")
+    lf, lb = np.asarray(lf), np.asarray(lb)
+    agree = (lf == lb).mean()
+    assert agree > 0.97, agree
+    # where they disagree, the bf16 choice is nearly as close (ties)
+    d_f = ((x - c[lf]) ** 2).sum(1)
+    d_b = ((x - c[lb]) ** 2).sum(1)
+    assert float(np.mean(d_b - d_f)) < 1e-3
