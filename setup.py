@@ -19,9 +19,13 @@ setup(
         "test": ["pytest", "scipy", "scikit-learn"],
     },
     entry_points={
+        # four aliases, mirroring the reference's console-script surface
+        # (reference setup.py:28-35)
         "console_scripts": [
             "3dgsconverter-tpu=gsconverter_tpu.main:main",
             "gsconverter-tpu=gsconverter_tpu.main:main",
+            "3dgsconv-tpu=gsconverter_tpu.main:main",
+            "gsconv-tpu=gsconverter_tpu.main:main",
         ]
     },
 )
