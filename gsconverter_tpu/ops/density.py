@@ -14,9 +14,12 @@ pointer jumping over the 6-neighbor voxel graph — O(log diameter) rounds of
 fully-vectorized gathers inside a ``lax.while_loop``.  The splat axis is
 padded to power-of-two buckets (one compile per bucket).
 
-Grid keys are exact 30-bit packs (1024 cells/axis); larger grids are
-coarsened to fit (documented divergence — the reference used unbounded
-int64 voxel coords).
+Grid keys are exact 30-bit int32 packs (1024 cells/axis) on the fast path;
+when the scene extent needs more, the wide path packs exact 60-bit int64
+keys (1M cells/axis) under ``jax.experimental.enable_x64`` — matching the
+reference's unbounded int64 voxel coords up to extent/voxel ~1e6 (beyond
+that, coordinates clip; the reference's float64 voxel ids lose integer
+exactness at similar magnitudes anyway).
 """
 
 from __future__ import annotations
@@ -30,6 +33,7 @@ from .padding import PAD_POS, next_pow2, pad_rows
 
 GRID_BITS = 10
 GRID_MAX = (1 << GRID_BITS) - 1
+WIDE_BITS = 20
 KEY_SENTINEL = jnp.int32(0x7FFFFFFF)
 
 
@@ -39,59 +43,67 @@ def sensitivity_to_params(sensitivity: float) -> tuple[float, float]:
     return voxel, threshold
 
 
-@functools.partial(jax.jit, static_argnames=("keep_multicluster",))
+@functools.partial(jax.jit, static_argnames=("keep_multicluster", "bits"))
 def _density_mask_padded(
     pos: jax.Array,
     n_valid: jax.Array,
     voxel_size: jax.Array,
     threshold_percentage: jax.Array,
     keep_multicluster: bool = False,
+    bits: int = GRID_BITS,
 ) -> jax.Array:
+    kdt = jnp.int32 if bits <= GRID_BITS else jnp.int64
+    gmax = (1 << bits) - 1
+    sentinel = jnp.asarray(jnp.iinfo(kdt).max, kdt)
     n = pos.shape[0]
     valid = jnp.arange(n) < n_valid
     vox = jnp.floor(pos / voxel_size)
     base = jnp.min(jnp.where(valid[:, None], vox, jnp.float32(PAD_POS)), axis=0)
-    ci = jnp.clip(vox - base, 0, GRID_MAX).astype(jnp.int32)
-    keys = (ci[:, 0] << (2 * GRID_BITS)) | (ci[:, 1] << GRID_BITS) | ci[:, 2]
-    keys = jnp.where(valid, keys, KEY_SENTINEL)
+    ci = jnp.clip(vox - base, 0, gmax).astype(kdt)
+    keys = (ci[:, 0] << (2 * bits)) | (ci[:, 1] << bits) | ci[:, 2]
+    keys = jnp.where(valid, keys, sentinel)
 
     # unique occupied voxels + per-point inverse + counts (device sort)
     skeys = jnp.sort(keys)
     is_first = jnp.concatenate([jnp.ones(1, bool), skeys[1:] != skeys[:-1]])
-    voxel_id_sorted = jnp.cumsum(is_first) - 1
+    voxel_id_sorted = (jnp.cumsum(is_first) - 1).astype(jnp.int32)
     m = n  # padded voxel table size (<= n occupied voxels)
     uniq_keys = jax.ops.segment_max(
-        jnp.where(is_first, skeys, -1), voxel_id_sorted, num_segments=m
+        jnp.where(is_first, skeys, jnp.asarray(-1, kdt)), voxel_id_sorted,
+        num_segments=m,
     )
-    sv = skeys != KEY_SENTINEL
+    sv = skeys != sentinel
     counts = jax.ops.segment_sum(
         sv.astype(jnp.int32), voxel_id_sorted, num_segments=m
     )
 
     # per-point voxel id in ORIGINAL order
     order = jnp.argsort(keys)
-    inv = jnp.zeros(n, jnp.int32).at[order].set(voxel_id_sorted.astype(jnp.int32))
+    inv = jnp.zeros(n, jnp.int32).at[order].set(voxel_id_sorted)
 
     min_points = (threshold_percentage / 100.0 * n_valid.astype(jnp.float32)).astype(jnp.int32)
     # valid = a real occupied voxel: empty segments yield segment_max's
-    # identity (INT32_MIN) and the pad group carries KEY_SENTINEL
-    vox_valid = (uniq_keys >= 0) & (uniq_keys != KEY_SENTINEL)
+    # identity (INT_MIN) and the pad group carries the sentinel
+    vox_valid = (uniq_keys >= 0) & (uniq_keys != sentinel)
     # match the reference's int() truncation then >= comparison
     dense = (counts >= min_points) & vox_valid & (counts > 0)
 
     # --- 6-neighbor adjacency among dense voxels via searchsorted ---
-    ux = uniq_keys >> (2 * GRID_BITS)
-    uy = (uniq_keys >> GRID_BITS) & GRID_MAX
-    uz = uniq_keys & GRID_MAX
-    offs = jnp.array([[1, 0, 0], [-1, 0, 0], [0, 1, 0], [0, -1, 0], [0, 0, 1], [0, 0, -1]])
-    ncoord = jnp.stack([ux, uy, uz], axis=1)[:, None, :] + offs[None, :, :]  # [m,6,3]
-    in_grid = jnp.all((ncoord >= 0) & (ncoord <= GRID_MAX), axis=-1)
-    nkeys = (
-        (ncoord[..., 0] << (2 * GRID_BITS)) | (ncoord[..., 1] << GRID_BITS) | ncoord[..., 2]
+    ux = uniq_keys >> (2 * bits)
+    uy = (uniq_keys >> bits) & gmax
+    uz = uniq_keys & gmax
+    offs = jnp.asarray(
+        [[1, 0, 0], [-1, 0, 0], [0, 1, 0], [0, -1, 0], [0, 0, 1], [0, 0, -1]],
+        kdt,
     )
-    search_keys = jnp.where(vox_valid, uniq_keys, KEY_SENTINEL)  # stays ascending
+    ncoord = jnp.stack([ux, uy, uz], axis=1)[:, None, :] + offs[None, :, :]  # [m,6,3]
+    in_grid = jnp.all((ncoord >= 0) & (ncoord <= gmax), axis=-1)
+    nkeys = (
+        (ncoord[..., 0] << (2 * bits)) | (ncoord[..., 1] << bits) | ncoord[..., 2]
+    )
+    search_keys = jnp.where(vox_valid, uniq_keys, sentinel)  # stays ascending
     loc = jnp.searchsorted(search_keys, nkeys.reshape(-1)).reshape(nkeys.shape)
-    loc = jnp.clip(loc, 0, m - 1)
+    loc = jnp.clip(loc, 0, m - 1).astype(jnp.int32)
     found = (search_keys[loc] == nkeys) & in_grid
     neigh_dense = dense[loc] & found
 
@@ -114,7 +126,7 @@ def _density_mask_padded(
 
     # --- cluster sizes in voxels (reference counts voxels, not points) ---
     sizes = jax.ops.segment_sum(
-        jnp.where(dense, 1, 0), jnp.clip(labels, 0, m - 1), num_segments=m
+        dense.astype(jnp.int32), jnp.clip(labels, 0, m - 1), num_segments=m
     )
     max_size = jnp.max(sizes)
     if keep_multicluster:
@@ -137,14 +149,30 @@ def density_mask(
     """Keep-mask for the density filter over positions [N,3].
 
     Pads to a power-of-two bucket internally — one compile per bucket.
+    Scenes whose extent exceeds 1023 voxels per axis automatically take the
+    exact int64 wide-grid path (1M cells/axis).
     """
     n = pos.shape[0]
     p = next_pow2(n)
     posp = pad_rows(pos, p, PAD_POS)
-    return _density_mask_padded(
-        posp,
-        jnp.int32(n),
-        jnp.float32(voxel_size),
-        jnp.float32(threshold_percentage),
-        keep_multicluster=keep_multicluster,
-    )[:n]
+    ratio = float(
+        jnp.max(jnp.max(pos[:n], axis=0) - jnp.min(pos[:n], axis=0))
+    ) / float(voxel_size)
+    if ratio <= GRID_MAX:
+        return _density_mask_padded(
+            posp,
+            jnp.int32(n),
+            jnp.float32(voxel_size),
+            jnp.float32(threshold_percentage),
+            keep_multicluster=keep_multicluster,
+        )[:n]
+    # wide grid: exact 60-bit int64 keys (x64 enabled for this trace only)
+    with jax.enable_x64(True):
+        return _density_mask_padded(
+            posp,
+            jnp.int32(n),
+            jnp.float32(voxel_size),
+            jnp.float32(threshold_percentage),
+            keep_multicluster=keep_multicluster,
+            bits=WIDE_BITS,
+        )[:n]

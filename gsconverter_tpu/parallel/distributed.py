@@ -370,11 +370,12 @@ def sharded_render_tiles(cloud, cam, mesh: Mesh, axis: str = "data",
     )
     def run(pos, sh_dc, sh_rest, opacity, log_scale, quat):
         nd = jax.lax.axis_size(axis)
-        # project locally to find destination row-bands
+        # project locally to find destination row-bands (full radius:
+        # near-camera giants are sent to EVERY band they cover; the
+        # renderer's global-candidate escape handles them within a band)
         p = project_gaussians(pos, log_scale, quat, cam)
-        radius_c = jnp.minimum(p["radius"], 2.0 * rz.TILE)
-        y0 = jnp.clip(p["means2d"][:, 1] - radius_c, 0, h - 1)
-        y1 = jnp.clip(p["means2d"][:, 1] + radius_c, 0, h - 1)
+        y0 = jnp.clip(p["means2d"][:, 1] - p["radius"], 0, h - 1)
+        y1 = jnp.clip(p["means2d"][:, 1] + p["radius"], 0, h - 1)
         d0 = (y0 // rows_per).astype(jnp.int32)
         d1 = (y1 // rows_per).astype(jnp.int32)
         nloc = pos.shape[0]

@@ -36,7 +36,8 @@ ALPHA_MAX = 0.99
 
 @functools.partial(
     jax.jit,
-    static_argnames=("max_per_tile", "tile_chunk", "sh_degree", "binning"),
+    static_argnames=("max_per_tile", "tile_chunk", "sh_degree", "binning",
+                     "max_global"),
 )
 def render(
     cloud: SplatCloud,
@@ -45,17 +46,22 @@ def render(
     max_per_tile: int = 256,
     tile_chunk: int = 16,
     sh_degree: int | None = None,
-    binning: str = "exact",
+    binning: str = "windowed",
+    max_global: int = 32,
 ) -> jax.Array:
     """Render [H,W,3] linear-RGB image. Differentiable w.r.t. all splat params.
 
+    binning="windowed": production path (default) — each splat emits keys for
+                        up to 36 covered tiles, one stable sort groups keys
+                        by tile in depth order, per-tile candidate windows
+                        are fixed [max_per_tile] slices.  O(36N log N)
+                        instead of O(tiles*N).  Splats wider than 2 tiles
+                        escape to a global candidate list (front-most
+                        ``max_global`` by depth) merged into every tile's
+                        window, so near-camera giants keep their full
+                        footprint instead of being truncated at 6x6 tiles.
     binning="exact":    per-tile overlap over ALL splats (O(tiles*N) select) —
                         the verification oracle path.
-    binning="windowed": production path — each splat emits keys for up to 36
-                        covered tiles (radius clamped to 2 tiles), one stable
-                        sort groups keys by tile in depth order, per-tile
-                        candidate windows are fixed [max_per_tile] slices.
-                        O(36N log) instead of O(tiles*N).
     """
     h, w = cam.height, cam.width
     assert h % TILE == 0 and w % TILE == 0, "image dims must be multiples of 16"
@@ -94,7 +100,9 @@ def render(
     hi_y = means2d[:, 1] + radius
 
     if binning == "windowed":
-        span = 6  # tiles per axis a splat may cover (radius clamped below)
+        span = 6  # tiles per axis a windowed splat may cover
+        big = valid & (radius > 2.0 * TILE)  # escape to the global list
+        small = valid & ~big
         radius_c = jnp.minimum(radius, 2.0 * TILE)
         tx0i = jnp.clip(jnp.floor((means2d[:, 0] - radius_c) / TILE), 0, tw - 1).astype(jnp.int32)
         tx1i = jnp.clip(jnp.floor((means2d[:, 0] + radius_c) / TILE), 0, tw - 1).astype(jnp.int32)
@@ -106,13 +114,20 @@ def render(
         txs = tx0i[:, None] + offs[None, :, 1]
         tys = ty0i[:, None] + offs[None, :, 0]
         covered = (
-            (txs <= tx1i[:, None]) & (tys <= ty1i[:, None]) & valid[:, None]
+            (txs <= tx1i[:, None]) & (tys <= ty1i[:, None]) & small[:, None]
         )
         tid = jnp.where(covered, tys * tw + txs, n_tiles)  # sentinel = n_tiles
         flat_tid = tid.reshape(-1)  # depth-major order
         order2 = jnp.argsort(flat_tid)  # stable: preserves depth order per tile
         sorted_tid = flat_tid[order2]
         entry_splat = order2 // (span * span)  # entry -> splat index (depth rank)
+        # global candidates: front-most max_global big splats (depth rank
+        # ascending); their Gaussian falloff bounds them spatially, the
+        # binning doesn't have to
+        n_glob = min(max_global, n)
+        score_g = jnp.where(big, -jnp.arange(n, dtype=jnp.float32), -jnp.inf)
+        _, sel_g = jax.lax.top_k(score_g, n_glob)  # ascending depth
+        valid_g = jnp.take(big, sel_g)
 
     def select_exact(tile_idx):
         tx0 = x0[tile_idx]  # [C]
@@ -134,9 +149,19 @@ def render(
         start = jnp.searchsorted(sorted_tid, tile_idx, side="left")
         end = jnp.searchsorted(sorted_tid, tile_idx, side="right")
         idx = start[:, None] + jnp.arange(max_per_tile)[None, :]
-        sel_valid = idx < end[:, None]
+        w_valid = idx < end[:, None]
         idx = jnp.clip(idx, 0, sorted_tid.shape[0] - 1)
-        return entry_splat[idx], sel_valid
+        # merge the global (big-splat) candidates in depth order: candidate
+        # ids ARE depth ranks, so one sort of the concatenated id lists
+        # restores front-to-back order (sentinel n sorts to the tail)
+        ids_w = jnp.where(w_valid, entry_splat[idx], n)
+        ids_g = jnp.where(valid_g[None, :], sel_g[None, :], n)
+        ids = jnp.concatenate(
+            [jnp.broadcast_to(ids_g, (tile_idx.shape[0], n_glob)), ids_w],
+            axis=1,
+        )
+        ids = jnp.sort(ids, axis=1)
+        return jnp.clip(ids, 0, n - 1), ids < n
 
     def bin_and_render(tile_idx):
         # tile_idx: [C] chunk of tile ids

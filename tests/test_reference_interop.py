@@ -469,3 +469,29 @@ def test_sog_reference_written_ours_read(ref, tmp_path):
     assert len(a) > 20
     corr = np.corrcoef(a.ravel(), b.ravel())[0, 1]
     assert corr > 0.25, corr
+
+
+def test_density_filter_wide_extent_parity(ref):
+    """Wide-grid (int64) density path vs the reference BFS at extent/voxel
+    ~1e5 (VERDICT r1 item 8): identical keep-sets."""
+    r = np.random.default_rng(9)
+    blob_a = r.uniform(0, 5, (2500, 3)).astype(np.float32)
+    blob_b = r.uniform(0, 3, (800, 3)).astype(np.float32) + 90000.0
+    noise = (r.uniform(-1, 1, (100, 3)) * 50000.0).astype(np.float32)
+    pos = np.concatenate([blob_a, blob_b, noise])
+    n = len(pos)
+
+    arr = np.zeros(n, dtype=[("x", "f4"), ("y", "f4"), ("z", "f4")])
+    arr["x"], arr["y"], arr["z"] = pos.T
+    dp = ref.dp.DataProcessor(arr.copy())
+    kept_ref = dp.apply_density_filter(voxel_size=1.0, threshold_percentage=0.3)
+    ref_set = set(map(tuple, np.round(
+        np.stack([kept_ref["x"], kept_ref["y"], kept_ref["z"]], 1), 4)))
+
+    import jax.numpy as jnp
+
+    from gsconverter_tpu.ops.density import density_mask
+
+    mask = np.asarray(density_mask(jnp.asarray(pos), 1.0, 0.3))
+    our_set = set(map(tuple, np.round(pos[mask], 4)))
+    assert our_set == ref_set
