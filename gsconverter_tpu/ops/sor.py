@@ -199,16 +199,32 @@ _sor_md_masked = _sor_md_impl  # staged-jit composition (see docstring)
 
 
 @jax.jit
-def _sor_window_bin(pos: jax.Array, valid: jax.Array):
-    """Morton sort over the valid points (invalid rows sort to the end)."""
+def _sor_window_bin(pos: jax.Array, valid: jax.Array,
+                    rot=None, shift=(0.0, 0.0, 0.0)):
+    """Morton sort over the valid points (invalid rows sort to the end).
+
+    ``rot``/``shift`` select an alternative space-filling order for the
+    multi-pass recall ensemble: each ordering misses a different neighbor
+    set, so the elementwise MIN of per-pass mean-KNN distances converges on
+    the true value.  ``rot`` rotates the frame the curve is built in
+    (distances are rotation-invariant, so only the ordering changes);
+    ``shift`` is a per-axis GRID translation (in units of the extent):
+    coords map to half the grid range and translate by shift*512 cells,
+    moving EVERY octree split plane — high-level planes are what cause
+    correlated misses (a dense blob on the t=0.5 plane splits identically
+    in any axis-permuted order).  Measured on the adversarial two-blob
+    scene (tests/test_filters.py): identity-only 1 pass ~93% KNN recall;
+    4 rotated+shifted passes reach KDTree mask agreement 0.9996.
+    """
     from .quant import morton3_u32
 
+    posr = pos if rot is None else pos @ jnp.asarray(rot, jnp.float32).T
     big = jnp.float32(PAD_POS)
-    mins = jnp.min(jnp.where(valid[:, None], pos, big), axis=0)
-    maxs = jnp.max(jnp.where(valid[:, None], pos, -big), axis=0)
+    mins = jnp.min(jnp.where(valid[:, None], posr, big), axis=0)
+    maxs = jnp.max(jnp.where(valid[:, None], posr, -big), axis=0)
     rng = jnp.where(maxs > mins, maxs - mins, 1.0)
-    t = jnp.clip((pos - mins) / rng, 0.0, 1.0)
-    g = (t * 1023.0).astype(jnp.uint32)
+    t = jnp.clip((posr - mins) / rng, 0.0, 1.0)
+    g = (t * 511.0 + jnp.asarray(shift, jnp.float32) * 512.0).astype(jnp.uint32)
     mkey = jnp.where(
         valid, morton3_u32(g[:, 0], g[:, 1], g[:, 2]), jnp.uint32(0xFFFFFFFF)
     )
@@ -239,12 +255,15 @@ def _sor_window_loop(spos, svalid, k: int, window: int, block: int, approx: bool
         )
         self_idx = jnp.arange(block)[:, None] + window == jnp.arange(cwidth)[None, :]
         ok = cvalid[None, :] & ~self_idx & (d2 > 1e-12)
-        d2 = jnp.where(ok, jnp.maximum(d2, 0.0), jnp.inf)
+        # the [block, cwidth] d2 intermediate dominates HBM traffic (this
+        # loop is bandwidth-bound); bf16 halves it, and the ~0.4% rounding
+        # is far below the mu + sigma*f statistical contract
+        d2 = jnp.where(ok, jnp.maximum(d2, 0.0), jnp.inf).astype(jnp.bfloat16)
         if approx:
             neg_top, _ = jax.lax.approx_max_k(-d2, k, recall_target=0.95)
         else:
             neg_top, _ = jax.lax.top_k(-d2, k)
-        dk2 = -neg_top
+        dk2 = -neg_top.astype(jnp.float32)
         found = jnp.isfinite(dk2)
         dist = jnp.sqrt(jnp.where(found, dk2, 0.0))
         cnt = jnp.sum(found, axis=1)
@@ -256,25 +275,56 @@ def _sor_window_loop(spos, svalid, k: int, window: int, block: int, approx: bool
     ).reshape(-1)[:n]
 
 
+def _euler_mat(a, b, c):
+    import numpy as _np
+
+    ca, sa, cb, sb, cc, sc = (_np.cos(a), _np.sin(a), _np.cos(b),
+                              _np.sin(b), _np.cos(c), _np.sin(c))
+    rx = _np.array([[1, 0, 0], [0, ca, -sa], [0, sa, ca]])
+    ry = _np.array([[cb, 0, sb], [0, 1, 0], [-sb, 0, cb]])
+    rz = _np.array([[cc, -sc, 0], [sc, cc, 0], [0, 0, 1]])
+    return (rz @ ry @ rx).astype(_np.float32)
+
+
+# (rotation, grid shift) per ensemble pass — rotated frames AND translated
+# octree planes give near-independent neighbor-miss patterns (measured:
+# 1/2/4 passes -> 0.988/0.993/0.9996 KDTree mask agreement on the
+# adversarial two-blob scene)
+_PASS_ORDERS = (
+    (None, (0.0, 0.0, 0.0)),
+    (_euler_mat(0.6, 1.1, 0.3), (0.47, 0.23, 0.71)),
+    (_euler_mat(2.1, 0.4, 1.7), (0.19, 0.83, 0.37)),
+    (_euler_mat(1.0, 2.5, 0.8), (0.71, 0.41, 0.13)),
+)
+
+
 def _sor_md_window(pos, valid, k: int, approx: bool = False,
-                   window: int = 512, block: int = 1024):
+                   window: int = 512, block: int = 1024, passes: int = 2):
     # window+candidate width tuned on a v5e chip: all (window, block) with
     # candidate width 2048 run ~280ms at 4M points (HBM-bound on the d2
-    # intermediates); width 3072 costs 1.5x more. Mask agreement vs the
-    # widest window stays 1.0 on 4M-point scenes.
+    # intermediates; bf16 halves that). Single-pass window recall ~0.93
+    # overestimates md by ~7% on dense clustered scenes; the 2-pass
+    # ensemble MIN brings KDTree mask agreement above 0.999 (see
+    # tests/test_filters.py::test_sor_adversarial_clustered_scene).
     k = min(int(k), MAX_K)
-    order, spos, svalid = _sor_window_bin(pos, valid)
-    md_sorted = _sor_window_loop(spos, svalid, k, window, block, approx)
     n = pos.shape[0]
-    return jnp.zeros(n, jnp.float32).at[order].set(md_sorted)
+    md = jnp.full(n, jnp.inf, jnp.float32)
+    for rot, shift in _PASS_ORDERS[:max(1, passes)]:
+        order, spos, svalid = _sor_window_bin(pos, valid, rot, shift)
+        md_sorted = _sor_window_loop(spos, svalid, k, window, block, approx)
+        md = jnp.minimum(
+            md, jnp.zeros(n, jnp.float32).at[order].set(md_sorted)
+        )
+    return md
 
 
-@functools.partial(jax.jit, static_argnames=("k", "approx"))
-def _sor_mask_window_fused(pos, n_valid, sigma, k: int, approx: bool):
+@functools.partial(jax.jit, static_argnames=("k", "approx", "passes"))
+def _sor_mask_window_fused(pos, n_valid, sigma, k: int, approx: bool,
+                           passes: int = 2):
     """bin + window loop + stats as ONE program (one device round trip)."""
     p = pos.shape[0]
     valid = jnp.arange(p) < n_valid
-    md = _sor_md_window(pos, valid, k, approx=approx)
+    md = _sor_md_window(pos, valid, k, approx=approx, passes=passes)
     return _sor_mask_stats(md, valid, n_valid, sigma)
 
 
@@ -298,22 +348,25 @@ def _sor_mask_stats(md, valid, n_valid, sigma):
 
 
 def _sor_mask_padded(pos, n_valid, k: int, sigma, approx: bool = False,
-                     method: str = "window"):
+                     method: str = "window", passes: int = 2):
     if method == "grid":
         p = pos.shape[0]
         valid = jnp.arange(p) < n_valid
         md = _sor_md_impl(pos, valid, k, DEFAULT_CAP, 2048, approx=approx)
         return _sor_mask_stats(md, valid, n_valid, sigma)
-    return _sor_mask_window_fused(pos, n_valid, sigma, k, approx)
+    return _sor_mask_window_fused(pos, n_valid, sigma, k, approx, passes)
 
 
 def sor_mask(pos: jax.Array, k: int, sigma: float, approx: bool | None = None,
-             method: str = "window") -> jax.Array:
+             method: str = "window", passes: int = 2) -> jax.Array:
     """Keep-mask: mean_knn_dist < mean + sigma * std (reference gpu_ops.py:259-263).
 
     Pads to a power-of-two bucket internally — one compile per (bucket, k).
     ``method``: "window" (default; Morton-window candidates, MXU distances,
     exact for n <= 3072) or "grid" (27-cell exact grid scan, gather-heavy).
+    ``passes``: window-method recall ensemble — md is the elementwise MIN
+    over this many space-filling orderings (2 gives >0.999 KDTree mask
+    agreement on adversarial clustered scenes; 1 is the cheap single-pass).
     ``approx``: select the k nearest via ``jax.lax.approx_max_k`` (the TPU
     partial-reduction primitive, ~16x faster than an exact per-row top-k,
     recall 0.95) instead of ``lax.top_k``.  Defaults to True for the window
@@ -327,5 +380,5 @@ def sor_mask(pos: jax.Array, k: int, sigma: float, approx: bool | None = None,
     posp = pad_rows(pos, p, PAD_POS)
     return _sor_mask_padded(
         posp, jnp.int32(n), min(int(k), MAX_K), jnp.float32(sigma),
-        approx=approx, method=method,
+        approx=approx, method=method, passes=passes,
     )[:n]
