@@ -48,6 +48,33 @@ def sync(x):
         x = x.astype(jnp.int32)
     return float(jnp.sum(x))
 
+def mint_scene(path, n, seed=0, flyers=0.002):
+    # write a synthetic n-splat 3DGS PLY (dense blob + far flyers)
+    import numpy as np
+    from gsconverter_tpu.cloud import SplatCloud
+    from gsconverter_tpu.formats import get_handler
+    rr = np.random.default_rng(seed)
+    nf = int(n * flyers)
+    pos = np.concatenate([
+        rr.normal(0, 2.0, (n - nf, 3)), rr.normal(0, 2.0, (nf, 3)) + 80.0,
+    ]).astype(np.float32)
+    quat = rr.normal(0, 1, (n, 4)).astype(np.float32)
+    quat /= np.linalg.norm(quat, axis=1, keepdims=True)
+    rest = np.zeros((n, 3, 15), np.float32)
+    rest[:, :, :8] = rr.normal(0, 0.1, (n, 3, 8))
+    c = SplatCloud(
+        pos=jnp.asarray(pos),
+        sh_dc=jnp.asarray(rr.normal(0, 0.5, (n, 3)).astype(np.float32)),
+        sh_rest=jnp.asarray(rest),
+        opacity=jnp.asarray(rr.normal(1, 2, (n,)).astype(np.float32)),
+        log_scale=jnp.asarray(rr.normal(-4, 0.5, (n, 3)).astype(np.float32)),
+        quat=jnp.asarray(quat),
+        normal=jnp.zeros((n, 3), jnp.float32),
+        active_sh_degree=2,
+    )
+    get_handler("3dgs").write(c, path)
+    return n
+
 kind = sys.argv[1]
 r = np.random.default_rng(0)
 if kind == "sor":
@@ -69,6 +96,67 @@ elif kind == "kmeans":
     sync(x)
     f = lambda: sync(km.kmeans(x, k, max_iter=10)[1])
     per_call = n * 10
+elif kind == "e2e":
+    # BASELINE config 2: read -> bbox + min_opacity + SOR + density -> write
+    # (ply -> splat and ply -> ksplat), full-pipeline Msplats/s
+    import os, tempfile
+    from gsconverter_tpu.converter import convert
+    n = int(sys.argv[2])
+    d = tempfile.mkdtemp()
+    src = os.path.join(d, "scene.ply")
+    mint_scene(src, n)
+    kw = dict(
+        bbox=(-60, -60, -60, 60, 60, 60), min_opacity=5,
+        sor_intensity=4, density_sensitivity=0.5, force=True,
+    )
+    def run_once(tag):
+        t0 = time.perf_counter()
+        convert(src, os.path.join(d, f"out_{tag}.splat"), "splat", **kw)
+        dt1 = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        convert(src, os.path.join(d, f"out_{tag}.ksplat"), "ksplat", **kw)
+        dt2 = time.perf_counter() - t0
+        return dt1, dt2
+    run_once("warm")  # compile
+    d1, d2 = run_once("timed")
+    rate = 2 * n / (d1 + d2) / 1e6
+    print(json.dumps({"rate": rate, "secs": d1 + d2}))
+    raise SystemExit(0)
+elif kind == "sog":
+    # BASELINE config 3: SOG K-Means codebook compression
+    import os, tempfile
+    from gsconverter_tpu.converter import convert
+    n, level = int(sys.argv[2]), int(sys.argv[3])
+    d = tempfile.mkdtemp()
+    src = os.path.join(d, "scene.ply")
+    mint_scene(src, n, flyers=0.0)
+    convert(src, os.path.join(d, "warm.sog"), "sog",
+            compression_level=level, force=True)
+    t0 = time.perf_counter()
+    convert(src, os.path.join(d, "timed.sog"), "sog",
+            compression_level=level, force=True)
+    dt = time.perf_counter() - t0
+    print(json.dumps({"rate": n / dt / 1e6, "secs": dt}))
+    raise SystemExit(0)
+elif kind == "batch":
+    # BASELINE config 5 (single-chip slice): multi-scene N-to-N matrix
+    import os, tempfile
+    from gsconverter_tpu.batch import convert_batch
+    n_scenes, n = int(sys.argv[2]), int(sys.argv[3])
+    d = tempfile.mkdtemp()
+    for i in range(n_scenes):
+        mint_scene(os.path.join(d, f"s{i}.ply"), n, seed=i)
+    fmts = ["splat", "spz", "ksplat"]
+    convert_batch(os.path.join(d, "s0.ply"), os.path.join(d, "warm"), fmts,
+                  force=True)  # compile at this bucket
+    t0 = time.perf_counter()
+    done = convert_batch(os.path.join(d, "s*.ply"), os.path.join(d, "out"),
+                         fmts, force=True)
+    dt = time.perf_counter() - t0
+    total = n * len(done)
+    print(json.dumps({"rate": total / dt / 1e6, "secs": dt,
+                      "conversions": len(done)}))
+    raise SystemExit(0)
 else:
     raise SystemExit(f"unknown kind {kind}")
 
@@ -135,6 +223,18 @@ def main():
     sor_rate = run_tpu_workload(["sor", str(N_SOR)])
     km_rate = run_tpu_workload(["kmeans", str(N_KM), str(D_KM), str(K_KM)])
 
+    # end-to-end pipeline benchmarks (BASELINE configs 2, 3, 5); each in
+    # its own subprocess, failures degrade to null rather than killing the
+    # headline metric
+    extra = {}
+    extra["e2e_1m_filters_msplats"] = run_tpu_workload(["e2e", "1000000"])
+    extra["sog_3m_l1_msplats"] = run_tpu_workload(["sog", "3000000", "1"])
+    extra["sog_3m_l10_msplats"] = run_tpu_workload(["sog", "3000000", "10"])
+    extra["batch_4x200k_x3fmt_msplats"] = run_tpu_workload(
+        ["batch", "4", "200000"]
+    )
+    extra = {k: (round(v, 2) if v else v) for k, v in extra.items()}
+
     vs = None
     combined = 0.0
     if sor_rate and km_rate:
@@ -157,6 +257,7 @@ def main():
         "value": round(float(combined), 2),
         "unit": "Msplats/s",
         "vs_baseline": vs,
+        "extra": extra,
     }))
 
 
