@@ -135,3 +135,45 @@ def test_convert_batch_round_robin(tmp_path):
     b = convert_batch(str(tmp_path / "s.ply"), str(tmp_path / "o"), ["splat", "spz"],
                       process_index=1, process_count=2, force=True)
     assert len(a) == 1 and len(b) == 1 and a[0][1] != b[0][1]
+
+
+def test_convert_batch_matrix(tmp_path):
+    """batch.py N-to-N matrix (BASELINE config 5 single-process slice)."""
+    import jax.numpy as jnp
+
+    from gsconverter_tpu.batch import convert_batch
+    from gsconverter_tpu.formats import get_handler
+    from tests.conftest import make_cloud
+
+    for i in range(3):
+        get_handler("3dgs").write(
+            make_cloud(500, sh_degree=1, seed=i), str(tmp_path / f"s{i}.ply")
+        )
+    done = convert_batch(
+        str(tmp_path / "s*.ply"), str(tmp_path / "out"), ["splat", "spz"],
+        force=True,
+    )
+    assert len(done) == 6
+    for src, fmt, out in done:
+        d = get_handler(fmt).read(out)
+        assert d.n == 500
+
+
+def test_convert_batch_round_robin(tmp_path):
+    """Multi-process round-robin partitions the job list disjointly."""
+    from gsconverter_tpu.batch import convert_batch
+    from gsconverter_tpu.formats import get_handler
+    from tests.conftest import make_cloud
+
+    for i in range(2):
+        get_handler("3dgs").write(
+            make_cloud(300, sh_degree=0, seed=i), str(tmp_path / f"s{i}.ply")
+        )
+    a = convert_batch(str(tmp_path / "s*.ply"), str(tmp_path / "out"),
+                      ["splat", "spz"], process_index=0, process_count=2,
+                      force=True)
+    b = convert_batch(str(tmp_path / "s*.ply"), str(tmp_path / "out"),
+                      ["splat", "spz"], process_index=1, process_count=2,
+                      force=True)
+    assert len(a) == 2 and len(b) == 2
+    assert not (set(x[2] for x in a) & set(x[2] for x in b))
