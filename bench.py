@@ -228,6 +228,7 @@ def main():
     # headline metric
     extra = {}
     extra["e2e_1m_filters_msplats"] = run_tpu_workload(["e2e", "1000000"])
+    extra["e2e_10m_filters_msplats"] = run_tpu_workload(["e2e", "10000000"])
     extra["sog_3m_l1_msplats"] = run_tpu_workload(["sog", "3000000", "1"])
     extra["sog_3m_l10_msplats"] = run_tpu_workload(["sog", "3000000", "10"])
     extra["batch_4x200k_x3fmt_msplats"] = run_tpu_workload(
