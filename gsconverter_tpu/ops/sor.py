@@ -33,6 +33,8 @@ import functools
 
 import jax
 import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 from .padding import PAD_POS, next_pow2, pad_rows
 
@@ -275,6 +277,139 @@ def _sor_window_loop(spos, svalid, k: int, window: int, block: int, approx: bool
     ).reshape(-1)[:n]
 
 
+# ------------------------------------------------- pallas window kernel
+#
+# The XLA window loop materializes the [block, cwidth] distance matrix in
+# HBM between the matmul and the top-k (bandwidth-bound, ~280ms/pass at
+# 4M).  The Pallas kernel keeps it resident in VMEM and replaces top-k
+# with a per-lane binary search for the k-th-neighbor radius (the mean of
+# the k nearest needs only the threshold + a masked sum, not the sorted
+# values).  Layout: candidates on SUBLANES [cwidth, block], points on
+# LANES — every reduction is an elementwise accumulation over sublanes,
+# never a cross-lane shuffle.  Distances are computed directly as
+# sum((c-x)^2) on the VPU: exact for nearby pairs (no ||c||^2-2cx
+# cancellation) and self-pairs land on an exact 0.0.
+
+_D_VALID_MAX = 1e12  # pad sentinels sit at PAD_POS=1e15; real pairs are closer
+
+
+def _window_md_kernel(xt_ref, *refs, k: int, iters: int, window: int,
+                      block: int, rows_per_out: int):
+    # VMEM discipline: the only [cwidth, block] resident tensor is the bf16
+    # distance scratch; every reduction re-reads it so Mosaic streams tiles
+    # instead of materializing extra full-size f32 temporaries (a first
+    # draft kept dv/fin/dz live simultaneously -> 24MB scoped-vmem OOM).
+    chunk_refs, out_ref, d_ref = refs[:-2], refs[-2], refs[-1]
+    cand = jnp.concatenate([r[:] for r in chunk_refs], axis=0)  # [cw, 3]
+    acc = None
+    for a in range(3):
+        t = cand[:, a:a + 1] - xt_ref[a:a + 1, :]  # [cw,1] - [1,block]
+        acc = t * t if acc is None else acc + t * t
+    d = jnp.sqrt(acc)
+    # self/duplicate pairs (exact or near-zero distance) and PAD_POS
+    # sentinel rows are invalid -> inf
+    d_ref[:] = jnp.where(
+        (d > 1e-6) & (d < _D_VALID_MAX), d, jnp.inf
+    ).astype(jnp.bfloat16)
+    kf = jnp.float32(k)
+
+    # Each stat re-reads the bf16 scratch so its elementwise chain has a
+    # single consumer (the reduction) and streams tile-by-tile — naming a
+    # shared [cwidth, block] f32 temp would materialize it in scoped VMEM.
+    def _stats(lo_row, n_rows):
+        dv = d_ref[pl.ds(lo_row, n_rows), :].astype(jnp.float32)
+        fin = dv < _D_VALID_MAX  # stored invalids are +inf
+        dz = jnp.where(fin, dv, 0.0)
+        return (
+            jnp.sum(fin.astype(jnp.float32), axis=0, keepdims=True),
+            jnp.sum(dz, axis=0, keepdims=True),
+            jnp.max(dz, axis=0, keepdims=True),
+        )
+
+    cntv, sumv, dmax = _stats(0, block + 2 * window)  # [1, block] each
+    # Tight upper bound for the search: the k-th nearest of ALL candidates
+    # is <= the max over the Morton-middle block (>= k candidates there),
+    # typically ~2-3x the true radius instead of dmax's window diameter.
+    cntm, _, hmid = _stats(window, block)
+    hi = jnp.where(cntm >= kf, hmid, dmax)
+    lo = jnp.zeros_like(hi)
+
+    # Invariant: count(d <= lo) < k <= count(d <= hi) whenever cntv >= k.
+    # (bf16 compares are rejected by Mosaic on v5e — "Target does not
+    # support this comparison" — so the scratch is upcast per read.)
+    def body(_, c):
+        lo, hi = c
+        mid = 0.5 * (lo + hi)
+        cnt = jnp.sum(
+            (d_ref[:].astype(jnp.float32) <= mid).astype(jnp.float32),
+            axis=0, keepdims=True,
+        )
+        pred = cnt >= kf
+        return jnp.where(pred, lo, mid), jnp.where(pred, mid, hi)
+
+    lo, hi = jax.lax.fori_loop(0, iters, body, (lo, hi))
+
+    dsel = d_ref[:].astype(jnp.float32)
+    sel = dsel <= lo
+    cl = jnp.sum(sel.astype(jnp.float32), axis=0, keepdims=True)
+    sl = jnp.sum(jnp.where(sel, dsel, 0.0), axis=0, keepdims=True)
+    # neighbors between lo and the k-th radius all sit within [lo, hi]
+    mdk = (sl + (kf - cl) * 0.5 * (lo + hi)) / kf
+    # fewer than k valid neighbors: fill at the largest found distance
+    # (same rule as the XLA loop's max(dist) fill)
+    mdf = (sumv + (kf - cntv) * dmax) / kf
+    # out blocks span rows_per_out grid steps (Mosaic requires sublane
+    # blocks of 8); each step writes its own row of the revisited block
+    row = pl.program_id(0) % rows_per_out
+    out_ref[pl.ds(row, 1), :] = jnp.where(cntv >= kf, mdk, mdf)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("k", "window", "block", "iters", "interpret")
+)
+def _sor_window_loop_pallas(spos, k: int, window: int = 512,
+                            block: int = 512, iters: int = 10,
+                            interpret: bool = False):
+    """Pallas mean-KNN over Morton windows.  ``spos`` must be Morton-sorted
+    with padded/invalid rows at PAD_POS (how _sor_window_bin emits them);
+    validity is recovered from the sentinel positions."""
+    n = spos.shape[0]
+    assert n % block == 0 and block % window == 0
+    chunk = window
+    posp = jnp.pad(spos, ((window, window), (0, 0)), constant_values=PAD_POS)
+    post = jnp.pad(spos.T, ((0, 5), (0, 0)))  # [8, n] (rows 3..7 unused)
+    nb = n // block
+    nch = (block + 2 * window) // chunk
+    rpc = block // chunk
+    in_specs = [
+        pl.BlockSpec((8, block), lambda i: (0, i), memory_space=pltpu.VMEM)
+    ]
+    for c in range(nch):
+        in_specs.append(
+            pl.BlockSpec(
+                (chunk, 3), (lambda i, c=c: (i * rpc + c, 0)),
+                memory_space=pltpu.VMEM,
+            )
+        )
+    rpo = min(nb, 8)
+    md = pl.pallas_call(
+        functools.partial(
+            _window_md_kernel, k=k, iters=iters, window=window, block=block,
+            rows_per_out=rpo,
+        ),
+        grid=(nb,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((rpo, block), lambda i: (i // rpo, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((nb, block), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((block + 2 * window, block), jnp.bfloat16)
+        ],
+        interpret=interpret,
+    )(post, *([posp] * nch))
+    return md.reshape(-1)[:n]
+
+
 def _euler_mat(a, b, c):
     import numpy as _np
 
@@ -298,33 +433,81 @@ _PASS_ORDERS = (
 )
 
 
+def _morton_key(pos, valid, rot, shift):
+    """Space-filling key for one ensemble ordering (invalid rows sort last)."""
+    from .quant import morton3_u32
+
+    posr = pos if rot is None else pos @ jnp.asarray(rot, jnp.float32).T
+    big = jnp.float32(PAD_POS)
+    mins = jnp.min(jnp.where(valid[:, None], posr, big), axis=0)
+    maxs = jnp.max(jnp.where(valid[:, None], posr, -big), axis=0)
+    rng = jnp.where(maxs > mins, maxs - mins, 1.0)
+    t = jnp.clip((posr - mins) / rng, 0.0, 1.0)
+    g = (t * 511.0 + jnp.asarray(shift, jnp.float32) * 512.0).astype(jnp.uint32)
+    return jnp.where(
+        valid, morton3_u32(g[:, 0], g[:, 1], g[:, 2]), jnp.uint32(0xFFFFFFFF)
+    )
+
+
 def _sor_md_window(pos, valid, k: int, approx: bool = False,
-                   window: int = 512, block: int = 1024, passes: int = 2):
-    # window+candidate width tuned on a v5e chip: all (window, block) with
-    # candidate width 2048 run ~280ms at 4M points (HBM-bound on the d2
-    # intermediates; bf16 halves that). Single-pass window recall ~0.93
-    # overestimates md by ~7% on dense clustered scenes; the 2-pass
-    # ensemble MIN brings KDTree mask agreement above 0.999 (see
+                   window: int = 512, block: int = 1024, passes: int = 2,
+                   impl: str = "xla"):
+    # Tuning history (v5e, 4M points): the original argsort+gather bin +
+    # per-pass scatter-back cost ~160ms/pass on top of the window loop.
+    # This version carries the payload THROUGH a variadic ``lax.sort``
+    # (44ms vs 80ms argsort+gather) and keeps the running ensemble MIN in
+    # sorted order — each pass re-sorts (positions, original index,
+    # running md) by the next pass's Morton key, and only the LAST pass
+    # pays one unsort (33ms vs 48ms scatter).  Single-pass window recall
+    # ~0.93 overestimates md on dense clustered scenes; the rotated+
+    # shifted ensemble MIN brings KDTree mask agreement above 0.999 (see
     # tests/test_filters.py::test_sor_adversarial_clustered_scene).
+    # ``impl``: "xla" | "pallas" | "pallas_interpret" — the Pallas kernel
+    # keeps the distance matrix in VMEM (see _window_md_kernel); it
+    # requires the padded N to divide by its block (callers pad to pow2,
+    # so any N >= 512 qualifies).
     k = min(int(k), MAX_K)
     n = pos.shape[0]
-    md = jnp.full(n, jnp.inf, jnp.float32)
+    pallas_block = 512  # smaller lane tile keeps scoped VMEM under 16MB
+    use_pallas = impl.startswith("pallas") and n % pallas_block == 0
+    # invalid rows -> sentinel positions, so validity survives the sorts
+    # (and the Pallas kernel recovers it from the coordinates alone)
+    cpos = jnp.where(valid[:, None], pos, PAD_POS)
+    cidx = jnp.arange(n, dtype=jnp.int32)
+    cmd = jnp.full(n, jnp.inf, jnp.float32)
     for rot, shift in _PASS_ORDERS[:max(1, passes)]:
-        order, spos, svalid = _sor_window_bin(pos, valid, rot, shift)
-        md_sorted = _sor_window_loop(spos, svalid, k, window, block, approx)
-        md = jnp.minimum(
-            md, jnp.zeros(n, jnp.float32).at[order].set(md_sorted)
+        cvalid = cpos[:, 0] < _D_VALID_MAX
+        key = _morton_key(cpos, cvalid, rot, shift)
+        _, x_, y_, z_, cidx, cmd = jax.lax.sort(
+            (key, cpos[:, 0], cpos[:, 1], cpos[:, 2], cidx, cmd), num_keys=1
         )
+        cpos = jnp.stack([x_, y_, z_], axis=1)
+        if use_pallas:
+            md_sorted = _sor_window_loop_pallas(
+                cpos, k, window, pallas_block,
+                interpret=(impl == "pallas_interpret"),
+            )
+        else:
+            svalid = x_ < _D_VALID_MAX
+            md_sorted = _sor_window_loop(cpos, svalid, k, window,
+                                         min(block, n), approx)
+        cmd = jnp.minimum(cmd, md_sorted)
+    # one unsort back to the caller's order
+    _, md = jax.lax.sort((cidx, cmd), num_keys=1)
     return md
 
 
-@functools.partial(jax.jit, static_argnames=("k", "approx", "passes"))
+@functools.partial(
+    jax.jit, static_argnames=("k", "approx", "passes", "impl", "window")
+)
 def _sor_mask_window_fused(pos, n_valid, sigma, k: int, approx: bool,
-                           passes: int = 2):
+                           passes: int = 2, impl: str = "xla",
+                           window: int = 512):
     """bin + window loop + stats as ONE program (one device round trip)."""
     p = pos.shape[0]
     valid = jnp.arange(p) < n_valid
-    md = _sor_md_window(pos, valid, k, approx=approx, passes=passes)
+    md = _sor_md_window(pos, valid, k, approx=approx, passes=passes,
+                        impl=impl, window=window)
     return _sor_mask_stats(md, valid, n_valid, sigma)
 
 
@@ -348,17 +531,20 @@ def _sor_mask_stats(md, valid, n_valid, sigma):
 
 
 def _sor_mask_padded(pos, n_valid, k: int, sigma, approx: bool = False,
-                     method: str = "window", passes: int = 2):
+                     method: str = "window", passes: int = 2,
+                     impl: str = "xla", window: int = 512):
     if method == "grid":
         p = pos.shape[0]
         valid = jnp.arange(p) < n_valid
         md = _sor_md_impl(pos, valid, k, DEFAULT_CAP, 2048, approx=approx)
         return _sor_mask_stats(md, valid, n_valid, sigma)
-    return _sor_mask_window_fused(pos, n_valid, sigma, k, approx, passes)
+    return _sor_mask_window_fused(pos, n_valid, sigma, k, approx, passes,
+                                  impl=impl, window=window)
 
 
 def sor_mask(pos: jax.Array, k: int, sigma: float, approx: bool | None = None,
-             method: str = "window", passes: int = 2) -> jax.Array:
+             method: str = "window", passes: int = 2,
+             impl: str = "auto", window: int = 512) -> jax.Array:
     """Keep-mask: mean_knn_dist < mean + sigma * std (reference gpu_ops.py:259-263).
 
     Pads to a power-of-two bucket internally — one compile per (bucket, k).
@@ -372,13 +558,23 @@ def sor_mask(pos: jax.Array, k: int, sigma: float, approx: bool | None = None,
     recall 0.95) instead of ``lax.top_k``.  Defaults to True for the window
     method — the candidate window is already approximate, and measured mask
     agreement vs an exact KDTree is >0.9999 either way — and False for grid.
+    ``impl``: "auto" resolves to the Pallas VMEM-resident kernel on TPU
+    and the XLA loop elsewhere (resolved here, OUTSIDE jit, from the
+    array's devices — inside a trace the platform is unknowable, the
+    round-1 sharded-kmeans dispatch bug).
     """
     if approx is None:
         approx = method == "window"
+    pos = jnp.asarray(pos)  # committed to a device BEFORE impl resolution
     n = pos.shape[0]
     p = next_pow2(n)
+    if impl == "auto":
+        from .kmeans import _resolve_impl
+
+        impl = _resolve_impl(pos, "auto") if p >= 4096 else "xla"
     posp = pad_rows(pos, p, PAD_POS)
     return _sor_mask_padded(
         posp, jnp.int32(n), min(int(k), MAX_K), jnp.float32(sigma),
-        approx=approx, method=method, passes=passes,
+        approx=approx, method=method, passes=passes, impl=impl,
+        window=window,
     )[:n]

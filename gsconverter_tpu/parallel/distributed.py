@@ -114,10 +114,16 @@ def sharded_sor_mask(
         p = next_pow2(ext.shape[0])
         ext = pad_rows(ext, p, PAD_POS)
         valid = pad_rows(valid, p, False)
+        # invalid rows (wrap-around halos) carry REAL coordinates; scrub
+        # them to the sentinel so the Pallas path — which recovers validity
+        # from PAD_POS — excludes them exactly like the XLA path's mask
+        ext = jnp.where(valid[:, None], ext, PAD_POS)
         # same Morton-window method as the single-device path (ops/sor.py) so
         # isolated flyers get their TRUE neighbor distances (the grid method's
         # ring-reach fill underestimates points with no in-ring neighbors)
-        md = sor_ops._sor_md_window(ext, valid, min(k, 50), approx=True)[halo : halo + b]
+        md = sor_ops._sor_md_window(
+            ext, valid, min(k, 50), approx=True, impl=mesh_impl(mesh)
+        )[halo : halo + b]
         # global mean/std via psum over REAL rows only
         mdv = jnp.where(local_real, md, 0.0)
         s1 = jax.lax.psum(jnp.sum(mdv), axis)

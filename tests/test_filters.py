@@ -183,3 +183,42 @@ def test_sor_adversarial_clustered_scene():
     for m in (m2, m4):
         assert m[-120:].mean() < 0.1
     assert mask_ref[-120:].mean() < 0.1
+
+
+def test_sor_pallas_window_kernel_parity():
+    """The Pallas VMEM window kernel (interpret mode on CPU) must match the
+    XLA window loop: same Morton order, same fill semantics, md within the
+    binary-search tolerance."""
+    r = np.random.default_rng(7)
+    n = 3000  # pads to 4096 -> exercises the PAD_POS sentinel rows too
+    pos = np.concatenate([
+        r.normal(0, 1.0, (n - 64, 3)),
+        r.normal(0, 1.0, (64, 3)) + 30.0,  # far flyer cluster
+    ]).astype(np.float32)
+    from gsconverter_tpu.ops.padding import PAD_POS, pad_rows
+
+    posp = pad_rows(jnp.asarray(pos), 4096, PAD_POS)
+    valid = jnp.arange(4096) < n
+    order, spos, svalid = sor._sor_window_bin(posp, valid)
+    md_x = np.asarray(
+        sor._sor_window_loop(spos, svalid, 25, 512, 512, approx=False)
+    )
+    md_p = np.asarray(
+        sor._sor_window_loop_pallas(spos, 25, 512, 512, interpret=True)
+    )
+    real = np.asarray(svalid)
+    rel = np.abs(md_p[real] - md_x[real]) / np.maximum(md_x[real], 1e-12)
+    assert np.quantile(rel, 0.99) < 0.01, np.quantile(rel, 0.99)
+    assert rel.max() < 0.05, rel.max()
+
+    # full path: masks agree end-to-end
+    mp = np.asarray(
+        sor.sor_mask(jnp.asarray(pos), k=25, sigma=2.0,
+                     impl="pallas_interpret")
+    )
+    mx = np.asarray(
+        sor.sor_mask(jnp.asarray(pos), k=25, sigma=2.0, approx=False,
+                     impl="xla")
+    )
+    assert (mp == mx).mean() > 0.999
+    assert mp[-64:].mean() < 0.1  # flyers removed
