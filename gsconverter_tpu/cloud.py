@@ -133,8 +133,16 @@ class SplatCloud:
 
     # --------------------------------------------------------- select/mask
     def select(self, idx: jax.Array) -> "SplatCloud":
-        """Gather rows by index array (compaction, sorting, sharded gather)."""
-        take = lambda a: jnp.take(a, idx, axis=0)
+        """Gather rows by index array (compaction, sorting, sharded gather).
+
+        Residency-preserving: numpy-leaf clouds gather with numpy (host
+        fancy indexing, ~memcpy speed), device clouds with jnp.take.
+        """
+        if isinstance(self.pos, np.ndarray):
+            idx = np.asarray(idx)
+            take = lambda a: np.take(np.asarray(a), idx, axis=0)
+        else:
+            take = lambda a: jnp.take(a, idx, axis=0)
         return self.replace(
             pos=take(self.pos),
             sh_dc=take(self.sh_dc),
@@ -153,7 +161,7 @@ class SplatCloud:
         Under jit, filters carry validity masks instead; stage boundaries
         re-materialize via this (SURVEY.md §7.1 item 2).
         """
-        idx = jnp.nonzero(np.asarray(mask))[0]
+        idx = np.nonzero(np.asarray(mask))[0]
         return self.select(idx)
 
     # ----------------------------------------------------- flat SH helpers
@@ -173,6 +181,12 @@ class SplatCloud:
         case) behave identically.
         """
         n, k = flat.shape
+        if isinstance(flat, np.ndarray):
+            out = np.zeros((n, 3, MAX_SH_DIM), flat.dtype)
+            if k:
+                dim = k // 3
+                out[:, :, :dim] = flat.reshape(n, 3, dim)
+            return out
         if k == 0:
             return jnp.zeros((n, 3, MAX_SH_DIM), flat.dtype)
         dim = k // 3
@@ -188,9 +202,37 @@ class SplatCloud:
         return self.sh_rest[:, :, :dim].reshape(n, 3 * dim)
 
     # ------------------------------------------------------------- numpy IO
+    @property
+    def is_host(self) -> bool:
+        """True when leaves are host numpy (the default IO-pipeline residency;
+        see utils/transfer.py for why heavy leaves stay on host)."""
+        return isinstance(self.pos, np.ndarray)
+
     def to_numpy(self) -> "SplatCloud":
-        """Pull all leaves to host numpy (for codec container writes)."""
-        conv = lambda a: None if a is None else np.asarray(a)
+        """Pull all leaves to host numpy (for codec container writes).
+
+        Device-resident leaves use the chunked-async readback path
+        (utils/transfer.to_host); host-resident leaves are free.
+        """
+        from .utils.transfer import to_host
+
+        conv = lambda a: None if a is None else to_host(a)
+        return self.replace(
+            pos=conv(self.pos),
+            sh_dc=conv(self.sh_dc),
+            sh_rest=conv(self.sh_rest),
+            opacity=conv(self.opacity),
+            log_scale=conv(self.log_scale),
+            quat=conv(self.quat),
+            normal=conv(self.normal),
+            rgb=conv(self.rgb),
+            extras={k: conv(v) for k, v in self.extras.items()},
+        )
+
+    def device(self) -> "SplatCloud":
+        """Upload all leaves to the default device (h2d is the cheap
+        direction; used before sharded/multi-chip stages)."""
+        conv = lambda a: None if a is None else jnp.asarray(a)
         return self.replace(
             pos=conv(self.pos),
             sh_dc=conv(self.sh_dc),

@@ -98,6 +98,8 @@ class Converter:
         cloud after each stage and resume a preempted run from the last
         completed stage (deterministic restartable stages, SURVEY.md §5)."""
         opts = _opts_from_kwargs(kwargs)
+        if kwargs.get("timing"):
+            config_mod.TIMING = True
         ckpt_dir = kwargs.get("checkpoint_dir")
         from tqdm import tqdm
 

@@ -36,73 +36,109 @@ _CHUNK_FIELDS = [
 ]
 
 
+def _xp(a):
+    return np if isinstance(a, (np.ndarray, np.generic)) else jnp
+
+
 def morton_order(pos: jax.Array) -> jax.Array:
-    """Two-level Morton sort: 10-bit global + 10-bit intra-cell refinement."""
-    mins = jnp.min(pos, axis=0)
-    maxs = jnp.max(pos, axis=0)
-    rng = jnp.where(maxs - mins > 0, maxs - mins, 1.0)
+    """Two-level Morton sort: 10-bit global + 10-bit intra-cell refinement.
+
+    Residency-generic (numpy in -> numpy order out)."""
+    xp = _xp(pos)
+    mins = xp.min(pos, axis=0)
+    maxs = xp.max(pos, axis=0)
+    rng = xp.where(maxs - mins > 0, maxs - mins, 1.0)
     t = (pos - mins) / rng  # [0,1]
-    hi = jnp.clip(t * 1024.0, 0, 1023).astype(jnp.uint32)
-    lo = jnp.clip((t * 1024.0 - hi) * 1024.0, 0, 1023).astype(jnp.uint32)
+    hi = xp.clip(t * 1024.0, 0, 1023).astype(jnp.uint32)
+    lo = xp.clip((t * 1024.0 - hi) * 1024.0, 0, 1023).astype(jnp.uint32)
     key_hi = quant.morton3_u32(hi[:, 0], hi[:, 1], hi[:, 2])
     key_lo = quant.morton3_u32(lo[:, 0], lo[:, 1], lo[:, 2])
-    return jnp.lexsort((key_lo, key_hi))
+    return xp.lexsort((key_lo, key_hi))
 
 
 def _pad_to_chunks(a: jax.Array) -> jax.Array:
     """Pad axis 0 to a multiple of CHUNK by edge replication (keeps min/max)."""
+    xp = _xp(a)
     n = a.shape[0]
     pad = (-n) % CHUNK
     if pad:
-        a = jnp.concatenate([a, jnp.repeat(a[-1:], pad, axis=0)], axis=0)
+        a = xp.concatenate([a, xp.repeat(a[-1:], pad, axis=0)], axis=0)
     return a.reshape((-1, CHUNK) + a.shape[1:])
 
 
-@jax.jit
+def _pack_chunked(cv, mins, maxs, xp):
+    """Per-chunk-normalized 11-10-11 pack over [C, CHUNK, 3] values.
+
+    Normalizing here then packing against unit bounds is bit-identical to
+    packing against the per-chunk bounds directly (the pack's own
+    normalization divides by 1.0 exactly)."""
+    rng = maxs - mins  # [C,3]
+    norm = xp.where(
+        rng[:, None, :] < 1e-5, 0.0,
+        (cv - mins[:, None, :]) / xp.where(rng == 0, 1.0, rng)[:, None, :],
+    )
+    zero3 = xp.zeros(3, jnp.float32)
+    one3 = xp.ones(3, jnp.float32)
+    return quant.pack_11_10_11(norm.reshape(-1, 3), zero3, one3)
+
+
 def _encode(pos, log_scale, quat, opacity, sh_dc):
+    """Residency-generic encode (host numpy or traced jnp; see ops/quant.py)."""
+    xp = _xp(pos)
     order = morton_order(pos)
     pos = pos[order]
-    scl = jnp.clip(log_scale[order], -20, 20)
+    scl = xp.clip(log_scale[order], -20, 20)
     rgb = sh_dc[order] * SH_C0 + 0.5
-    alpha = jax.nn.sigmoid(opacity[order])
+    alpha = quant.sigmoid(opacity[order])
 
     cpos, cscl, crgb = _pad_to_chunks(pos), _pad_to_chunks(scl), _pad_to_chunks(rgb)
-    mins_p, maxs_p = jnp.min(cpos, axis=1), jnp.max(cpos, axis=1)  # [C,3]
-    mins_s, maxs_s = jnp.min(cscl, axis=1), jnp.max(cscl, axis=1)
-    mins_c, maxs_c = jnp.min(crgb, axis=1), jnp.max(crgb, axis=1)
+    mins_p, maxs_p = xp.min(cpos, axis=1), xp.max(cpos, axis=1)  # [C,3]
+    mins_s, maxs_s = xp.min(cscl, axis=1), xp.max(cscl, axis=1)
+    mins_c, maxs_c = xp.min(crgb, axis=1), xp.max(crgb, axis=1)
 
-    pack_chunked = jax.vmap(quant.pack_11_10_11)
-    p_pos = pack_chunked(cpos, mins_p, maxs_p).reshape(-1)
-    p_scl = pack_chunked(cscl, mins_s, maxs_s).reshape(-1)
-    p_col = jax.vmap(quant.pack_8888)(
-        crgb, _pad_to_chunks(alpha), mins_c, maxs_c
-    ).reshape(-1)
+    p_pos = _pack_chunked(cpos, mins_p, maxs_p, xp)
+    p_scl = _pack_chunked(cscl, mins_s, maxs_s, xp)
+    rng_c = maxs_c - mins_c
+    norm_c = xp.where(
+        rng_c[:, None, :] < 1e-5, 0.0,
+        (crgb - mins_c[:, None, :]) / xp.where(rng_c == 0, 1.0, rng_c)[:, None, :],
+    )
+    p_col = quant.pack_8888(
+        norm_c.reshape(-1, 3), _pad_to_chunks(alpha).reshape(-1),
+        xp.zeros(3, jnp.float32), xp.ones(3, jnp.float32),
+    )
     p_rot = quant.pack_rot_cply(quat[order])
     n = pos.shape[0]
-    chunk_bounds = jnp.concatenate(
+    chunk_bounds = xp.concatenate(
         [mins_p, maxs_p, mins_s, maxs_s, mins_c, maxs_c], axis=1
     )  # [C,18]
     return order, chunk_bounds, p_pos[:n], p_rot, p_scl[:n], p_col[:n]
 
 
-@jax.jit
+_encode_jit = jax.jit(_encode)
+
+
 def _decode(p_pos, p_rot, p_scl, p_col, chunk_bounds):
+    """Residency-generic decode."""
+    xp = _xp(p_pos)
     mins_p, maxs_p = chunk_bounds[:, 0:3], chunk_bounds[:, 3:6]
     mins_s, maxs_s = chunk_bounds[:, 6:9], chunk_bounds[:, 9:12]
     mins_c, maxs_c = chunk_bounds[:, 12:15], chunk_bounds[:, 15:18]
     n = p_pos.shape[0]
-    cidx = jnp.arange(n) // CHUNK
-    pos = quant.unpack_11_10_11(p_pos, jnp.zeros(3), jnp.ones(3))
+    cidx = xp.arange(n) // CHUNK
+    zero3 = xp.zeros(3, jnp.float32)
+    one3 = xp.ones(3, jnp.float32)
+    pos = quant.unpack_11_10_11(p_pos, zero3, one3)
     # re-apply per-chunk bounds (unpack used unit bounds; rescale per row)
     pos = pos * (maxs_p - mins_p)[cidx] + mins_p[cidx]
-    scl = quant.unpack_11_10_11(p_scl, jnp.zeros(3), jnp.ones(3))
+    scl = quant.unpack_11_10_11(p_scl, zero3, one3)
     scl = scl * (maxs_s - mins_s)[cidx] + mins_s[cidx]
-    rgb01, alpha = quant.unpack_8888(p_col, jnp.zeros(3), jnp.ones(3))
+    rgb01, alpha = quant.unpack_8888(p_col, zero3, one3)
     rgb01 = rgb01 * (maxs_c - mins_c)[cidx] + mins_c[cidx]
     quat = quant.unpack_rot_cply(p_rot)
     sh_dc = (rgb01 - 0.5) / SH_C0
-    a = jnp.clip(alpha, 1e-6, 1.0 - 1e-6)
-    opacity = jnp.log(a / (1.0 - a))
+    a = xp.clip(alpha, 1e-6, 1.0 - 1e-6)
+    opacity = xp.log(a / (1.0 - a))
     return pos, scl, quat, sh_dc, opacity
 
 
@@ -122,29 +158,30 @@ class CompressedPlyFormat(BaseFormat):
         n = len(verts)
         chunk_bounds = np.stack([chunks[f] for f in _CHUNK_FIELDS], axis=1).astype(np.float32)
 
+        # host decode via the residency-generic cores (utils/transfer.py)
         pos, scl, quat, sh_dc, opacity = _decode(
-            jnp.asarray(verts["packed_position"].copy()),
-            jnp.asarray(verts["packed_rotation"].copy()),
-            jnp.asarray(verts["packed_scale"].copy()),
-            jnp.asarray(verts["packed_color"].copy()),
-            jnp.asarray(chunk_bounds),
+            np.ascontiguousarray(verts["packed_position"]),
+            np.ascontiguousarray(verts["packed_rotation"]),
+            np.ascontiguousarray(verts["packed_scale"]),
+            np.ascontiguousarray(verts["packed_color"]),
+            chunk_bounds,
         )
 
-        sh_rest = jnp.zeros((n, 3, 15), jnp.float32)
+        sh_rest = np.zeros((n, 3, 15), np.float32)
         sh_deg = 0
         if "sh" in plyf:
             sh_el = plyf["sh"].data
             names = [f for f in sh_el.dtype.names]
             flat = np.stack([sh_el[f] for f in names], axis=1).astype(np.float32)
             flat = (flat / 256.0 - 0.5) * 8.0
-            sh_rest = SplatCloud.sh_rest_from_flat(jnp.asarray(flat))
+            sh_rest = SplatCloud.sh_rest_from_flat(flat)
             sh_deg = degree_for_coeffs(len(names))
         self.metadata = dict(count=n, sh_degree=sh_deg, chunks=len(chunks))
 
         return SplatCloud(
             pos=pos, sh_dc=sh_dc, sh_rest=sh_rest, opacity=opacity,
             log_scale=scl, quat=quat,
-            normal=jnp.zeros((n, 3), jnp.float32),
+            normal=np.zeros((n, 3), np.float32),
             active_sh_degree=sh_deg,
         )
 
@@ -153,7 +190,8 @@ class CompressedPlyFormat(BaseFormat):
         from ..cloud import COEFFS_FOR_DEGREE
 
         n = cloud.n
-        order, chunk_bounds, p_pos, p_rot, p_scl, p_col = _encode(
+        enc = _encode if cloud.is_host else _encode_jit
+        order, chunk_bounds, p_pos, p_rot, p_scl, p_col = enc(
             cloud.pos, cloud.log_scale, cloud.quat, cloud.opacity, cloud.sh_dc
         )
         chunk_np = np.asarray(chunk_bounds)
@@ -183,8 +221,9 @@ class CompressedPlyFormat(BaseFormat):
             # (compressed_ply.py:169), mis-grouping G/B for degree < 3.
             dim = n_coeffs // 3
             flat = cloud.sh_rest[:, :, :dim].reshape(n, n_coeffs)[order]
+            xp = np if cloud.is_host else jnp
             q = np.asarray(
-                jnp.clip((flat / 8.0 + 0.5) * 256.0, 0, 255).astype(jnp.uint8)
+                xp.clip((flat / 8.0 + 0.5) * 256.0, 0, 255).astype(jnp.uint8)
             )
             sh_arr = np.zeros(n, dtype=[(f"f_rest_{i}", "u1") for i in range(n_coeffs)])
             for i in range(n_coeffs):

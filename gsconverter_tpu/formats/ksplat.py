@@ -122,13 +122,13 @@ class KSplatFormat(BaseFormat):
         if not parts:
             return SplatCloud.zeros(0, active_sh_degree=global_deg)
         merged = {
-            k: jnp.concatenate([p[k] for p in parts], axis=0) for k in parts[0]
+            k: np.concatenate([p[k] for p in parts], axis=0) for k in parts[0]
         }
         n = merged["pos"].shape[0]
         return SplatCloud(
             pos=merged["pos"], sh_dc=merged["sh_dc"], sh_rest=merged["sh_rest"],
             opacity=merged["opacity"], log_scale=merged["log_scale"],
-            quat=merged["quat"], normal=jnp.zeros((n, 3), jnp.float32),
+            quat=merged["quat"], normal=np.zeros((n, 3), np.float32),
             active_sh_degree=global_deg,
         )
 
@@ -155,10 +155,11 @@ class KSplatFormat(BaseFormat):
         raw = np.frombuffer(payload, dt, n, offset)
         offset += s["maxSplatCount"] * dt.itemsize
 
+        # host decode (numpy; utils/transfer.py residency policy)
         if comp == 0:
-            pos = jnp.asarray(raw["pos"].copy())
-            log_scale = jnp.log(jnp.maximum(jnp.asarray(raw["scale"].copy()), 1e-9))
-            quat = jnp.asarray(raw["rot"].copy())
+            pos = np.ascontiguousarray(raw["pos"])
+            log_scale = np.log(np.maximum(np.ascontiguousarray(raw["scale"]), 1e-9))
+            quat = np.ascontiguousarray(raw["rot"])
         else:
             # bucket assignment: full buckets then partial (reference ksplat.py:148-156)
             fb, bsz = s["fullBucketCount"], s["bucketSize"]
@@ -167,18 +168,18 @@ class KSplatFormat(BaseFormat):
                 assign = np.concatenate([assign, np.full(int(ln), fb + i)])
             assign = assign[:n]
             sf = (s["bucketBlockSize"] / 2.0) / s["compressionScaleRange"]
-            pos_u = jnp.asarray(raw["pos"].astype(np.float32))
-            pos = (pos_u - s["compressionScaleRange"]) * sf + jnp.asarray(centers[assign])
-            scales = jnp.asarray(raw["scale"].copy().view(np.float16).astype(np.float32))
-            log_scale = jnp.log(jnp.maximum(scales, 1e-9))
-            r_u = jnp.asarray(raw["rot"].astype(np.float32))
+            pos_u = raw["pos"].astype(np.float32)
+            pos = (pos_u - s["compressionScaleRange"]) * sf + centers[assign]
+            scales = np.ascontiguousarray(raw["scale"]).view(np.float16).astype(np.float32)
+            log_scale = np.log(np.maximum(scales, 1e-9))
+            r_u = raw["rot"].astype(np.float32)
             quat = (r_u - 32767.5) / 32767.5 * quant.SQRT2
 
-        color = jnp.asarray(raw["color"].copy())
-        sh_dc = (color[:, :3].astype(jnp.float32) / 255.0 - 0.5) / SH_C0
+        color = np.ascontiguousarray(raw["color"])
+        sh_dc = (color[:, :3].astype(np.float32) / 255.0 - 0.5) / SH_C0
         opacity = quant.u8_to_logit(color[:, 3])
 
-        sh_rest = jnp.zeros((n, 3, 15), jnp.float32)
+        sh_rest = np.zeros((n, 3, 15), np.float32)
         if sh_count:
             vals = raw["sh"].astype(np.float32)
             if comp == 2:
@@ -188,7 +189,7 @@ class KSplatFormat(BaseFormat):
                 # which matches its hardcoded write range [-2,2] up to scale;
                 # decode with the header range for generality.
                 vals = vals / 255.0 * (max_sh - min_sh) + min_sh
-            sh_rest = SplatCloud.sh_rest_from_flat(jnp.asarray(vals))
+            sh_rest = SplatCloud.sh_rest_from_flat(vals)
         return (
             dict(pos=pos, sh_dc=sh_dc, sh_rest=sh_rest, opacity=opacity,
                  log_scale=log_scale, quat=quat),
@@ -212,8 +213,16 @@ class KSplatFormat(BaseFormat):
             # one: sections carry no ordering contract).
             from .compressed_ply import morton_order
 
-            cloud = cloud.select(morton_order(cloud.pos))
+            cloud = cloud.select(np.asarray(morton_order(cloud.pos))
+                                 if cloud.is_host else morton_order(cloud.pos))
         n = cloud.n
+        host = cloud.is_host
+
+        def _centers_np(pos):
+            pad = (-n) % bucket_size
+            p = np.concatenate([pos, np.repeat(pos[-1:], pad, axis=0)]) if pad else pos
+            b = p.reshape(-1, bucket_size, 3)
+            return (b.min(axis=1) + b.max(axis=1)) / 2.0
 
         if block_size is None:
             if comp >= 1:
@@ -221,10 +230,16 @@ class KSplatFormat(BaseFormat):
                 # reference hardcodes 5.0 and clips, ksplat.py:332,455-457;
                 # the format's section header carries the value, so
                 # auto-sizing is interop-safe and lossless).
-                centers0 = _bucket_centers(cloud.pos, bucket_size)
-                cidx = jnp.arange(n) // bucket_size
-                max_off = jnp.max(jnp.abs(cloud.pos - centers0[cidx]))
-                block_size = float(jnp.maximum(2.0 * max_off * 1.001, 1e-3))
+                if host:
+                    centers0 = _centers_np(cloud.pos)
+                    cidx = np.arange(n) // bucket_size
+                    max_off = float(np.max(np.abs(cloud.pos - centers0[cidx]))) if n else 0.0
+                    block_size = max(2.0 * max_off * 1.001, 1e-3)
+                else:
+                    centers0 = _bucket_centers(cloud.pos, bucket_size)
+                    cidx = jnp.arange(n) // bucket_size
+                    max_off = jnp.max(jnp.abs(cloud.pos - centers0[cidx]))
+                    block_size = float(jnp.maximum(2.0 * max_off * 1.001, 1e-3))
             else:
                 block_size = 5.0
         block_size = float(block_size)
@@ -272,8 +287,22 @@ class KSplatFormat(BaseFormat):
         if pfb:
             parts.append(struct.pack("<I", n % bucket_size))
 
-        scales_lin = jnp.exp(cloud.log_scale)
-        color = _color_u8(cloud.sh_dc, cloud.opacity)
+        # Residency dispatch: the packed record IS the file payload, so for
+        # host clouds every step runs in numpy (identical math) — a device
+        # encode would round-trip the full payload over the slow
+        # device->host direction (utils/transfer.py).  Device clouds use
+        # the jit cores + chunked readback.
+        if host:
+            c = cloud
+            scales_lin = np.exp(c.log_scale)
+            rgb = np.clip((0.5 + SH_C0 * c.sh_dc) * 255.0, 0, 255).astype(np.uint8)
+            alpha = np.clip(
+                (1.0 / (1.0 + np.exp(-c.opacity))) * 255.0, 0, 255
+            ).astype(np.uint8)
+            color = np.concatenate([rgb, alpha[:, None]], axis=1)
+        else:
+            scales_lin = jnp.exp(cloud.log_scale)
+            color = np.asarray(_color_u8(cloud.sh_dc, cloud.opacity))
         # degree-packed channel-major layout: R0..Rd,G0..Gd,B0..Bd (stride =
         # per-channel dim of the WRITTEN degree, matching the reader's
         # sh_rest_from_flat re-striding)
@@ -282,39 +311,56 @@ class KSplatFormat(BaseFormat):
             cloud.sh_rest[:, :, :sh_dim].reshape(n, sh_count) if sh_count else None
         )
 
+        from ..utils.transfer import to_host
+
         if comp == 0:
             rec = np.dtype([("pos", "<3f4"), ("scale", "<3f4"), ("rot", "<4f4"), ("color", "4u1")]
                            + ([("sh", "<f4", (sh_count,))] if sh_count else []))
             out = np.zeros(n, rec)
-            out["pos"] = np.asarray(cloud.pos)
-            out["scale"] = np.asarray(scales_lin)
-            out["rot"] = np.asarray(cloud.quat)
+            out["pos"] = to_host(cloud.pos)
+            out["scale"] = to_host(scales_lin)
+            out["rot"] = to_host(cloud.quat)
         else:
-            centers = _bucket_centers(cloud.pos, bucket_size)
-            parts.append(np.asarray(centers).astype("<f4").tobytes())
-            qpos = _quantize_pos(cloud.pos, centers, bucket_size, block_size)
             rec = np.dtype([("pos", "<3u2"), ("scale", "<3u2"), ("rot", "<4u2"), ("color", "4u1")]
                            + ([("sh", "<f2" if comp == 1 else "u1", (sh_count,))] if sh_count else []))
             out = np.zeros(n, rec)
-            out["pos"] = np.asarray(qpos)
-            out["scale"] = np.asarray(scales_lin).astype(np.float16).view(np.uint16)
+            if host:
+                centers = _centers_np(cloud.pos)
+                parts.append(centers.astype("<f4").tobytes())
+                cidx = np.arange(n) // bucket_size
+                sf_inv = SCALE_RANGE / (block_size / 2.0)
+                qp = np.round((cloud.pos - centers[cidx]) * sf_inv) + SCALE_RANGE
+                out["pos"] = np.clip(qp, 0, 65535).astype(np.uint16)
+                rot_q = np.clip(
+                    np.round(cloud.quat / quant.SQRT2 * 32767.5 + 32767.5),
+                    0, 65535,
+                ).astype(np.uint16)
+            else:
+                centers = _bucket_centers(cloud.pos, bucket_size)
+                parts.append(np.asarray(centers).astype("<f4").tobytes())
+                out["pos"] = np.asarray(
+                    _quantize_pos(cloud.pos, centers, bucket_size, block_size)
+                )
+                rot_q = np.asarray(jnp.clip(
+                    jnp.round(cloud.quat / quant.SQRT2 * 32767.5 + 32767.5),
+                    0, 65535,
+                ).astype(jnp.uint16))
+            out["scale"] = to_host(scales_lin).astype(np.float16).view(np.uint16)
             # Reference write stores f16 bits (ksplat.py:475) but its own
             # reader int-dequantizes via (u-32767.5)/32767.5*sqrt2
             # (ksplat.py:225-226).  We follow the reader/mkkellogg convention
             # so encode->decode round-trips.
-            rot_q = jnp.clip(
-                jnp.round(cloud.quat / quant.SQRT2 * 32767.5 + 32767.5), 0, 65535
-            ).astype(jnp.uint16)
-            out["rot"] = np.asarray(rot_q)
-        out["color"] = np.asarray(color)
+            out["rot"] = rot_q
+        out["color"] = color
         if sh_count:
+            sh_host = to_host(sh_flat)
             if comp == 2:
-                q = jnp.clip((sh_flat - min_sh) / (max_sh - min_sh) * 255.0, 0, 255)
-                out["sh"] = np.asarray(q.astype(jnp.uint8))
+                q = np.clip((sh_host - min_sh) / (max_sh - min_sh) * 255.0, 0, 255)
+                out["sh"] = q.astype(np.uint8)
             elif comp == 1:
-                out["sh"] = np.asarray(sh_flat).astype(np.float16)
+                out["sh"] = sh_host.astype(np.float16)
             else:
-                out["sh"] = np.asarray(sh_flat)
+                out["sh"] = sh_host
         parts.append(out.tobytes())
 
         with open(path, "wb") as f:

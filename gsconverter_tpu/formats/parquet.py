@@ -55,12 +55,13 @@ class ParquetFormat(BaseFormat):
         if "red" in df.columns:
             rgb = np.stack([df["red"], df["green"], df["blue"]], axis=1).astype(np.uint8)
 
+        # host-resident cloud (utils/transfer.py residency policy)
         return SplatCloud(
-            pos=jnp.asarray(pos), sh_dc=jnp.asarray(sh_dc),
-            sh_rest=jnp.asarray(sh_rest), opacity=jnp.asarray(opacity),
-            log_scale=jnp.asarray(log_scale), quat=jnp.asarray(quat),
-            normal=jnp.asarray(normal),
-            rgb=jnp.asarray(rgb) if rgb is not None else None,
+            pos=pos, sh_dc=sh_dc,
+            sh_rest=sh_rest, opacity=opacity,
+            log_scale=log_scale, quat=quat,
+            normal=normal,
+            rgb=rgb,
             active_sh_degree=degree_for_coeffs(n_cols),
         )
 

@@ -64,12 +64,49 @@ def _get(vertices: np.ndarray, prefix: str, name: str):
     return None
 
 
+def _field_group(vertices: np.ndarray, prefix: str, names: list[str]):
+    """[n, len(names)] f32 matrix extracted as ONE strided copy.
+
+    Requires the resolved fields to be consecutive same-dtype f4 record
+    slots (true for every file the reference writes).  Returns None when
+    the layout doesn't qualify — callers fall back to per-column copies.
+    A 1M-splat deg-3 PLY has 62 columns; per-column extraction costs ~62
+    cache-line passes over the 248 MB body, group extraction ~8.
+    """
+    flds = vertices.dtype.fields
+    offs = []
+    for nm in names:
+        for cand in (nm, prefix + nm, "scalar_" + nm):
+            if cand in flds and flds[cand][0] == np.dtype("<f4"):
+                offs.append(flds[cand][1])
+                break
+        else:
+            return None
+    if any(offs[i] != offs[0] + 4 * i for i in range(len(offs))):
+        return None
+    if len(vertices) == 0:
+        return np.zeros((0, len(names)), np.float32)
+    view = np.ndarray(
+        (len(vertices), len(names)), "<f4", buffer=vertices,
+        offset=offs[0], strides=(vertices.dtype.itemsize, 4),
+    )
+    return np.ascontiguousarray(view)
+
+
 def cloud_from_vertex_array(
     vertices: np.ndarray, extra_elements: tuple = ()
 ) -> SplatCloud:
-    """Build the canonical SoA cloud from a PLY-style structured vertex array."""
+    """Build the canonical SoA cloud from a PLY-style structured vertex array.
+
+    Host-resident result (numpy leaves): the conversion pipeline keeps heavy
+    attributes on host and uploads only what device ops consume
+    (utils/transfer.py rationale).
+    """
     n = len(vertices)
     prefix = _detect_prefix(set(vertices.dtype.names))
+    if not vertices.flags.c_contiguous:
+        # np.ndarray(buffer=...) group views need a contiguous base
+        vertices = np.ascontiguousarray(vertices)
 
     def col(name, default=0.0):
         v = _get(vertices, prefix, name)
@@ -77,28 +114,35 @@ def cloud_from_vertex_array(
             return np.full(n, default, np.float32)
         return np.ascontiguousarray(v, dtype=np.float32)
 
-    pos = np.stack([col("x"), col("y"), col("z")], axis=1)
-    normal = np.stack([col("nx"), col("ny"), col("nz")], axis=1)
-    sh_dc = np.stack([col("f_dc_0"), col("f_dc_1"), col("f_dc_2")], axis=1)
+    def group(names, defaults=None):
+        g = _field_group(vertices, prefix, names)
+        if g is not None:
+            return g
+        if defaults is None:
+            defaults = [0.0] * len(names)
+        return np.stack(
+            [col(nm, d) for nm, d in zip(names, defaults)], axis=1
+        )
 
-    # SH AC: count present columns, re-stride to [3,15].
-    rest_cols = []
+    pos = group(["x", "y", "z"])
+    normal = group(["nx", "ny", "nz"])
+    sh_dc = group(["f_dc_0", "f_dc_1", "f_dc_2"])
+
+    # SH AC: count present columns, re-stride to [3,15] in one group copy.
+    n_rest = 0
     for i in range(45):
-        v = _get(vertices, prefix, f"f_rest_{i}")
-        if v is None:
+        if _get(vertices, prefix, f"f_rest_{i}") is None:
             break
-        rest_cols.append(np.ascontiguousarray(v, dtype=np.float32))
-    n_rest = len(rest_cols)
-    # host-side re-stride (numpy, no device compile on the IO path)
+        n_rest = i + 1
     sh_rest = np.zeros((n, 3, 15), np.float32)
     if n_rest:
         dim = n_rest // 3
-        flat = np.stack(rest_cols, axis=1)
+        flat = group([f"f_rest_{i}" for i in range(n_rest)])
         sh_rest[:, :, :dim] = flat.reshape(n, 3, dim)
 
     opacity = col("opacity")
-    log_scale = np.stack([col("scale_0"), col("scale_1"), col("scale_2")], axis=1)
-    quat = np.stack([col("rot_0", 1.0), col("rot_1"), col("rot_2"), col("rot_3")], axis=1)
+    log_scale = group(["scale_0", "scale_1", "scale_2"])
+    quat = group(["rot_0", "rot_1", "rot_2", "rot_3"], defaults=[1.0, 0.0, 0.0, 0.0])
 
     has_rgb = "red" in vertices.dtype.names
     rgb = (
@@ -120,15 +164,15 @@ def cloud_from_vertex_array(
             extras[internal] = np.ascontiguousarray(vertices[name])
 
     return SplatCloud(
-        pos=jnp.asarray(pos),
-        sh_dc=jnp.asarray(sh_dc),
-        sh_rest=jnp.asarray(sh_rest),
-        opacity=jnp.asarray(opacity),
-        log_scale=jnp.asarray(log_scale),
-        quat=jnp.asarray(quat),
-        normal=jnp.asarray(normal),
-        rgb=jnp.asarray(rgb) if rgb is not None else None,
-        extras={k: jnp.asarray(v) for k, v in extras.items()},
+        pos=pos,
+        sh_dc=sh_dc,
+        sh_rest=sh_rest,
+        opacity=opacity,
+        log_scale=log_scale,
+        quat=quat,
+        normal=normal,
+        rgb=rgb,
+        extras=extras,
         active_sh_degree=degree_for_coeffs(n_rest),
         extra_elements=extra_elements,
     )
@@ -163,18 +207,28 @@ def vertex_array_from_cloud(
         fields.append((out_name(name), arr.dtype.str))
 
     out = np.zeros(n, dtype=np.dtype(fields))
-    out[out_name("x")], out[out_name("y")], out[out_name("z")] = c.pos.T
-    out[out_name("nx")], out[out_name("ny")], out[out_name("nz")] = c.normal.T
-    for i in range(3):
-        out[out_name(f"f_dc_{i}")] = c.sh_dc[:, i]
+
+    # The f4 core fields occupy two consecutive runs of the record
+    # ([x..nz] and [f_dc_0 .. rot_3]); write each run through ONE strided
+    # group view instead of 62 per-column scatters (each column scatter is
+    # a full cache-line pass over the record array).
+    def gview(first: str, width: int):
+        if n == 0:
+            return np.zeros((0, width), np.float32)
+        off = out.dtype.fields[first][1]
+        return np.ndarray((n, width), "<f4", buffer=out, offset=off,
+                          strides=(out.dtype.itemsize, 4))
+
+    v_sp = gview("x", 6)
+    v_sp[:, 0:3] = c.pos
+    v_sp[:, 3:6] = c.normal
+    v_core = gview(out_name("f_dc_0"), 11 + n_rest)
+    v_core[:, 0:3] = c.sh_dc
     flat = c.sh_rest.reshape(n, 3 * MAX_SH_DIM)
-    for i in range(n_rest):
-        out[out_name(f"f_rest_{i}")] = flat[:, i]
-    out[out_name("opacity")] = c.opacity
-    for i in range(3):
-        out[out_name(f"scale_{i}")] = c.log_scale[:, i]
-    for i in range(4):
-        out[out_name(f"rot_{i}")] = c.quat[:, i]
+    v_core[:, 3:3 + n_rest] = flat[:, :n_rest]
+    v_core[:, 3 + n_rest] = c.opacity
+    v_core[:, 4 + n_rest:7 + n_rest] = c.log_scale
+    v_core[:, 7 + n_rest:11 + n_rest] = c.quat
     if c.rgb is not None:
         for i, name in enumerate(_RGB):
             out[name] = c.rgb[:, i]

@@ -114,14 +114,14 @@ class SogFormat(BaseFormat):
             log_scale = scb[sidx[:, :3]]
 
             qdata = _read_webp_flat(zf, meta["quats"]["files"][0], n)
-            quat = np.asarray(
-                quant.unpack_rot_sog(jnp.asarray(qdata[:, :3]), jnp.asarray(qdata[:, 3]))
+            quat = quant.unpack_rot_sog(
+                np.ascontiguousarray(qdata[:, :3]), np.ascontiguousarray(qdata[:, 3])
             )
 
             s0 = _read_webp_flat(zf, meta["sh0"]["files"][0], n)
             cb0 = np.array(meta["sh0"]["codebook"], np.float32)
             sh_dc = cb0[s0[:, :3]]
-            opacity = np.asarray(quant.u8_to_logit_splat(jnp.asarray(s0[:, 3])))
+            opacity = quant.u8_to_logit_splat(np.ascontiguousarray(s0[:, 3]))
 
             sh_rest = np.zeros((n, 3, 15), np.float32)
             deg = 0
@@ -147,13 +147,14 @@ class SogFormat(BaseFormat):
                 lraw = _read_webp_flat(zf, meta["shN"]["files"][1], n)
                 labels = lraw[:, 0].astype(np.uint16) | (lraw[:, 1].astype(np.uint16) << 8)
                 flat = palette[labels]  # [N, coeffs] channel-major
-                sh_rest = np.asarray(SplatCloud.sh_rest_from_flat(jnp.asarray(flat)))
+                sh_rest = SplatCloud.sh_rest_from_flat(flat.astype(np.float32))
 
+        # host-resident cloud (utils/transfer.py residency policy)
         return SplatCloud(
-            pos=jnp.asarray(pos), sh_dc=jnp.asarray(sh_dc),
-            sh_rest=jnp.asarray(sh_rest), opacity=jnp.asarray(opacity),
-            log_scale=jnp.asarray(log_scale), quat=jnp.asarray(quat),
-            normal=jnp.zeros((n, 3), jnp.float32),
+            pos=pos.astype(np.float32), sh_dc=sh_dc.astype(np.float32),
+            sh_rest=sh_rest, opacity=opacity.astype(np.float32),
+            log_scale=log_scale.astype(np.float32), quat=quat.astype(np.float32),
+            normal=np.zeros((n, 3), np.float32),
             active_sh_degree=deg,
         )
 

@@ -62,35 +62,61 @@ class SplatFormat(BaseFormat):
         if size % _RECORD.itemsize != 0:
             debug_print(f"[WARNING] {size} not a multiple of 32; truncating.")
         raw = np.fromfile(path, dtype=_RECORD)
-        log_scale, quat, sh_dc, opacity = _decode(
-            jnp.asarray(raw["pos"].copy()),
-            jnp.asarray(raw["scale"].copy()),
-            jnp.asarray(raw["color"].copy()),
-            jnp.asarray(raw["rot"].copy()),
-        )
         n = len(raw)
+        # host decode via the residency-generic quant ops (utils/transfer.py)
+        scales = np.ascontiguousarray(raw["scale"])
+        log_scale = np.log(np.maximum(scales, 1e-6))
+        quat = quant.u8_to_quat(np.ascontiguousarray(raw["rot"]))
+        color = np.ascontiguousarray(raw["color"])
+        sh_dc = sh.dc_from_rgb_u8(color[:, :3])
+        opacity = quant.u8_to_logit_splat(color[:, 3])
         return SplatCloud(
-            pos=jnp.asarray(raw["pos"].copy()),
+            pos=np.ascontiguousarray(raw["pos"]),
             sh_dc=sh_dc,
-            sh_rest=jnp.zeros((n, 3, 15), jnp.float32),
+            sh_rest=np.zeros((n, 3, 15), np.float32),
             opacity=opacity,
             log_scale=log_scale,
             quat=quat,
-            normal=jnp.zeros((n, 3), jnp.float32),
-            rgb=jnp.asarray(raw["color"][:, :3].copy()),
+            normal=np.zeros((n, 3), np.float32),
+            rgb=np.ascontiguousarray(color[:, :3]),
             active_sh_degree=0,
         )
 
     def write(self, cloud: SplatCloud, path: str, **kwargs) -> None:
-        pos, scales, color, rot = _encode(
-            cloud.pos, cloud.log_scale, cloud.quat, cloud.opacity, cloud.sh_dc
-        )
         n = cloud.n
         out = np.zeros(n, dtype=_RECORD)
-        out["pos"] = np.asarray(pos)
-        out["scale"] = np.asarray(scales)
-        out["color"] = np.asarray(color)
-        out["rot"] = np.asarray(rot)
+        if cloud.is_host:
+            # host-resident encode: identical math in numpy — the whole
+            # record is file bytes, so a device encode would pull the full
+            # output back over the slow device->host direction for nothing
+            # (utils/transfer.py rationale)
+            from ..cloud import SH_C0
+
+            c = cloud
+            alpha_lin = 1.0 / (1.0 + np.exp(-c.opacity))
+            metric = np.exp(np.sum(c.log_scale, axis=1)) * alpha_lin
+            order = np.argsort(-metric)
+            q = c.quat[order]
+            q = q / np.maximum(
+                np.linalg.norm(q, axis=1, keepdims=True), 1e-12
+            )
+            out["pos"] = c.pos[order]
+            out["scale"] = np.exp(c.log_scale[order])
+            rgb = np.clip((0.5 + SH_C0 * c.sh_dc[order]) * 255.0, 0, 255)
+            a = np.clip(alpha_lin[order] * 255.0, 0, 255)
+            out["color"][:, :3] = rgb.astype(np.uint8)
+            out["color"][:, 3] = a.astype(np.uint8)
+            out["rot"] = np.clip(q * 128.0 + 128.0, 0, 255).astype(np.uint8)
+        else:
+            pos, scales, color, rot = _encode(
+                cloud.pos, cloud.log_scale, cloud.quat, cloud.opacity, cloud.sh_dc
+            )
+            from ..utils.transfer import to_host
+
+            out["pos"] = to_host(pos)
+            out["scale"] = to_host(scales)
+            out["color"] = to_host(color)
+            out["rot"] = to_host(rot)
         with open(path, "wb") as f:
             f.write(out.tobytes())
         debug_print(f".splat write completed. {n} splats sorted and packed.")

@@ -79,43 +79,43 @@ class SpzFormat(BaseFormat):
         body = file_data[16:]
         ptr = 0
 
-        # positions
+        # host decode (numpy throughout, residency-generic quant ops): the
+        # pipeline keeps heavy leaves host-resident (utils/transfer.py)
         if version == 1:
             pos = np.frombuffer(body, np.float16, n * 3, ptr).reshape(n, 3).astype(np.float32)
-            pos = jnp.asarray(pos)
             ptr += n * 6
         else:
             raw = np.frombuffer(body, np.uint8, n * 9, ptr).reshape(n, 3, 3)
-            pos = quant.fixed24_to_pos(jnp.asarray(raw), frac_bits)
+            pos = quant.fixed24_to_pos(raw, frac_bits)
             ptr += n * 9
         alpha_u8 = np.frombuffer(body, np.uint8, n, ptr); ptr += n
         col_u8 = np.frombuffer(body, np.uint8, n * 3, ptr).reshape(n, 3); ptr += n * 3
         scale_u8 = np.frombuffer(body, np.uint8, n * 3, ptr).reshape(n, 3); ptr += n * 3
         if version >= 3:
             rot_raw = np.frombuffer(body, np.uint32, n, ptr); ptr += n * 4
-            quat = quant.unpack_rot_spz(jnp.asarray(rot_raw))
+            quat = quant.unpack_rot_spz(rot_raw)
         else:
             rot_raw = np.frombuffer(body, np.uint8, n * 3, ptr).reshape(n, 3); ptr += n * 3
-            xyz = jnp.asarray(rot_raw).astype(jnp.float32) / 127.5 - 1.0
-            w = jnp.sqrt(jnp.maximum(0.0, 1.0 - jnp.sum(xyz * xyz, axis=1)))
-            quat = jnp.concatenate([w[:, None], xyz], axis=1)
+            xyz = rot_raw.astype(np.float32) / 127.5 - 1.0
+            w = np.sqrt(np.maximum(0.0, 1.0 - np.sum(xyz * xyz, axis=1)))
+            quat = np.concatenate([w[:, None], xyz], axis=1)
 
-        opacity = quant.u8_to_logit(jnp.asarray(alpha_u8))
-        sh_dc = (jnp.asarray(col_u8).astype(jnp.float32) / 255.0 - 0.5) / COLOR_SCALE
-        log_scale = jnp.asarray(scale_u8).astype(jnp.float32) / 16.0 - 10.0
+        opacity = quant.u8_to_logit(alpha_u8)
+        sh_dc = (col_u8.astype(np.float32) / 255.0 - 0.5) / COLOR_SCALE
+        log_scale = scale_u8.astype(np.float32) / 16.0 - 10.0
         rgb = sh.rgb_u8_linear_from_dc(sh_dc)
 
         sh_dim = DIM_FOR_DEGREE.get(sh_deg, 0)
-        sh_rest = jnp.zeros((n, 3, 15), jnp.float32)
+        sh_rest = np.zeros((n, 3, 15), np.float32)
         if sh_dim > 0:
             raw = np.frombuffer(body, np.uint8, n * sh_dim * 3, ptr).reshape(n, sh_dim, 3)
-            vals = quant.dequant_sh_spz(jnp.asarray(raw))  # [N, dim, 3] coeff-major
-            sh_rest = sh_rest.at[:, :, :sh_dim].set(jnp.transpose(vals, (0, 2, 1)))
+            vals = quant.dequant_sh_spz(raw)  # [N, dim, 3] coeff-major
+            sh_rest[:, :, :sh_dim] = np.transpose(vals, (0, 2, 1))
 
         return SplatCloud(
             pos=pos, sh_dc=sh_dc, sh_rest=sh_rest, opacity=opacity,
             log_scale=log_scale, quat=quat,
-            normal=jnp.zeros((n, 3), jnp.float32), rgb=rgb,
+            normal=np.zeros((n, 3), np.float32), rgb=rgb,
             active_sh_degree=sh_deg,
         )
 

@@ -11,8 +11,18 @@ s in [0,1] maps to voxel = max(0.1, 2.0 - 1.8 s), threshold = 0.1 + 0.9 s
 TPU-first redesign (SURVEY.md §7.4 item 4): the reference's Python BFS is
 inherently serial; we label clusters with iterative min-label propagation +
 pointer jumping over the 6-neighbor voxel graph — O(log diameter) rounds of
-fully-vectorized gathers inside a ``lax.while_loop``.  The splat axis is
-padded to power-of-two buckets (one compile per bucket).
+fully-vectorized gathers inside a ``lax.while_loop``.
+
+Two-stage execution (round-3 redesign, ~an order of magnitude less gather
+traffic than the round-2 single-jit version): stage 1 sorts the point keys
+once (one variadic ``lax.sort`` carries the unsort payload) and counts the
+OCCUPIED voxels; that count — typically 30-100x smaller than N at the
+reference's ~32 points/voxel densities — crosses to the host as one scalar
+and sizes the static voxel table of stage 2, so the 6-neighbor
+searchsorted adjacency and the label-propagation loop run over a
+power-of-two table of occupied voxels instead of an N-row table.  The
+splat axis and the voxel table are both padded to power-of-two buckets
+(one compile per bucket pair).
 
 Grid keys are exact 30-bit int32 packs (1024 cells/axis) on the fast path;
 when the scene extent needs more, the wide path packs exact 60-bit int64
@@ -28,6 +38,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from .padding import PAD_POS, next_pow2, pad_rows
 
@@ -43,15 +54,13 @@ def sensitivity_to_params(sensitivity: float) -> tuple[float, float]:
     return voxel, threshold
 
 
-@functools.partial(jax.jit, static_argnames=("keep_multicluster", "bits"))
-def _density_mask_padded(
-    pos: jax.Array,
-    n_valid: jax.Array,
-    voxel_size: jax.Array,
-    threshold_percentage: jax.Array,
-    keep_multicluster: bool = False,
-    bits: int = GRID_BITS,
-) -> jax.Array:
+@functools.partial(jax.jit, static_argnames=("bits",))
+def _density_stage1(pos, n_valid, voxel_size, bits: int):
+    """Voxel keys -> one sort -> per-point voxel ids + occupied-voxel count.
+
+    Returns (skeys [N] sorted keys, voxel_id_sorted [N], inv [N] per-point
+    voxel id in ORIGINAL order, n_vox scalar occupied-voxel count).
+    """
     kdt = jnp.int32 if bits <= GRID_BITS else jnp.int64
     gmax = (1 << bits) - 1
     sentinel = jnp.asarray(jnp.iinfo(kdt).max, kdt)
@@ -63,27 +72,42 @@ def _density_mask_padded(
     keys = (ci[:, 0] << (2 * bits)) | (ci[:, 1] << bits) | ci[:, 2]
     keys = jnp.where(valid, keys, sentinel)
 
-    # unique occupied voxels + per-point inverse + counts (device sort)
-    skeys = jnp.sort(keys)
+    # one variadic sort carries the unsort payload (saves the second full
+    # argsort of the round-2 version)
+    skeys, order = jax.lax.sort(
+        (keys, jnp.arange(n, dtype=jnp.int32)), num_keys=1
+    )
     is_first = jnp.concatenate([jnp.ones(1, bool), skeys[1:] != skeys[:-1]])
     voxel_id_sorted = (jnp.cumsum(is_first) - 1).astype(jnp.int32)
-    m = n  # padded voxel table size (<= n occupied voxels)
+    sv = skeys != sentinel
+    n_vox = jnp.sum((is_first & sv).astype(jnp.int32))
+    inv = jnp.zeros(n, jnp.int32).at[order].set(voxel_id_sorted)
+    return skeys, voxel_id_sorted, sv, inv, n_vox, valid
+
+
+@functools.partial(jax.jit, static_argnames=("keep_multicluster", "bits", "m"))
+def _density_stage2(
+    skeys, voxel_id_sorted, sv, n_valid, threshold_percentage,
+    keep_multicluster: bool, bits: int, m: int,
+):
+    """Cluster the occupied voxels; returns keep-flag per voxel id [m]."""
+    kdt = skeys.dtype
+    gmax = (1 << bits) - 1
+    sentinel = jnp.asarray(jnp.iinfo(kdt).max, kdt)
+
+    # voxel table: unique keys + counts (segment ops scatter N rows into the
+    # SMALL static table; ids >= m — only the sentinel pad group — drop out)
     uniq_keys = jax.ops.segment_max(
-        jnp.where(is_first, skeys, jnp.asarray(-1, kdt)), voxel_id_sorted,
+        jnp.where(sv, skeys, jnp.asarray(-1, kdt)), voxel_id_sorted,
         num_segments=m,
     )
-    sv = skeys != sentinel
     counts = jax.ops.segment_sum(
         sv.astype(jnp.int32), voxel_id_sorted, num_segments=m
     )
 
-    # per-point voxel id in ORIGINAL order
-    order = jnp.argsort(keys)
-    inv = jnp.zeros(n, jnp.int32).at[order].set(voxel_id_sorted)
-
     min_points = (threshold_percentage / 100.0 * n_valid.astype(jnp.float32)).astype(jnp.int32)
-    # valid = a real occupied voxel: empty segments yield segment_max's
-    # identity (INT_MIN) and the pad group carries the sentinel
+    # a real occupied voxel: empty table slots yield segment_max's identity
+    # (INT_MIN) and any in-range pad group carries the sentinel
     vox_valid = (uniq_keys >= 0) & (uniq_keys != sentinel)
     # match the reference's int() truncation then >= comparison
     dense = (counts >= min_points) & vox_valid & (counts > 0)
@@ -135,9 +159,12 @@ def _density_mask_padded(
         # single largest cluster only; first label wins on ties
         # (reference breaks after the first cluster, data_processor.py:106)
         keep_cluster = jnp.arange(m) == jnp.argmax(sizes)
-    vox_keep = dense & keep_cluster[jnp.clip(labels, 0, m - 1)]
+    return dense & keep_cluster[jnp.clip(labels, 0, m - 1)]
 
-    return vox_keep[inv] & valid
+
+@jax.jit
+def _density_gather(vox_keep, inv, valid):
+    return vox_keep[jnp.clip(inv, 0, vox_keep.shape[0] - 1)] & valid
 
 
 def density_mask(
@@ -148,31 +175,37 @@ def density_mask(
 ) -> jax.Array:
     """Keep-mask for the density filter over positions [N,3].
 
-    Pads to a power-of-two bucket internally — one compile per bucket.
-    Scenes whose extent exceeds 1023 voxels per axis automatically take the
-    exact int64 wide-grid path (1M cells/axis).
+    Pads to a power-of-two bucket internally — one compile per (point
+    bucket, voxel bucket) pair.  Scenes whose extent exceeds 1023 voxels
+    per axis automatically take the exact int64 wide-grid path (1M
+    cells/axis).
     """
     n = pos.shape[0]
     p = next_pow2(n)
-    posp = pad_rows(pos, p, PAD_POS)
-    ratio = float(
-        jnp.max(jnp.max(pos[:n], axis=0) - jnp.min(pos[:n], axis=0))
-    ) / float(voxel_size)
-    if ratio <= GRID_MAX:
-        return _density_mask_padded(
-            posp,
-            jnp.int32(n),
-            jnp.float32(voxel_size),
-            jnp.float32(threshold_percentage),
-            keep_multicluster=keep_multicluster,
-        )[:n]
+    if isinstance(pos, np.ndarray):
+        extent = float(np.max(pos.max(axis=0) - pos.min(axis=0))) if n else 0.0
+    else:
+        extent = float(
+            jnp.max(jnp.max(pos[:n], axis=0) - jnp.min(pos[:n], axis=0))
+        )
+    posp = pad_rows(jnp.asarray(pos), p, PAD_POS)
+    bits = GRID_BITS if extent / float(voxel_size) <= GRID_MAX else WIDE_BITS
+
+    def run():
+        skeys, vid, sv, inv, n_vox, valid = _density_stage1(
+            posp, jnp.int32(n), jnp.float32(voxel_size), bits
+        )
+        # one scalar readback sizes the static voxel table (occupied voxels
+        # + the sentinel pad group), typically 30-100x smaller than N
+        m = next_pow2(max(int(n_vox) + 1, 256))
+        vox_keep = _density_stage2(
+            skeys, vid, sv, jnp.int32(n), jnp.float32(threshold_percentage),
+            keep_multicluster, bits, m,
+        )
+        return _density_gather(vox_keep, inv, valid)[:n]
+
+    if bits == GRID_BITS:
+        return run()
     # wide grid: exact 60-bit int64 keys (x64 enabled for this trace only)
     with jax.enable_x64(True):
-        return _density_mask_padded(
-            posp,
-            jnp.int32(n),
-            jnp.float32(voxel_size),
-            jnp.float32(threshold_percentage),
-            keep_multicluster=keep_multicluster,
-            bits=WIDE_BITS,
-        )[:n]
+        return run()

@@ -21,10 +21,16 @@ from . import sor as sor_ops
 
 
 def _apply_mask(cloud: SplatCloud, mask, name: str) -> SplatCloud:
-    from .compaction import compact
-
     n0 = cloud.n
-    out = compact(cloud, jnp.asarray(mask))
+    if cloud.is_host:
+        # host-resident pipeline: mask (possibly on device) is read back
+        # (N bools) and compaction is a numpy gather — the heavy leaves
+        # never cross the slow device->host direction (utils/transfer.py)
+        out = cloud.compact(np.asarray(mask))
+    else:
+        from .compaction import compact
+
+        out = compact(cloud, jnp.asarray(mask))
     status_print(f"After {name}, retained {out.n} out of {n0} vertices.")
     return out
 
@@ -36,9 +42,15 @@ def _bbox_mask(pos, lo, hi):
 
 def crop_by_bbox(cloud: SplatCloud, bbox) -> SplatCloud:
     """Keep splats inside [min,max] box (reference data_processor.py:215-231)."""
-    lo = jnp.asarray(bbox[:3], jnp.float32)
-    hi = jnp.asarray(bbox[3:], jnp.float32)
-    return _apply_mask(cloud, _bbox_mask(cloud.pos, lo, hi), "cropping")
+    if cloud.is_host:
+        lo = np.asarray(bbox[:3], np.float32)
+        hi = np.asarray(bbox[3:], np.float32)
+        mask = np.all((cloud.pos >= lo) & (cloud.pos <= hi), axis=1)
+    else:
+        lo = jnp.asarray(bbox[:3], jnp.float32)
+        hi = jnp.asarray(bbox[3:], jnp.float32)
+        mask = _bbox_mask(cloud.pos, lo, hi)
+    return _apply_mask(cloud, mask, "cropping")
 
 
 def alpha_filter(cloud: SplatCloud, min_opacity_u8: int) -> SplatCloud:
@@ -51,6 +63,7 @@ def alpha_filter(cloud: SplatCloud, min_opacity_u8: int) -> SplatCloud:
         return cloud.compact(np.zeros(cloud.n, bool))
     t = np.clip(limit / 255.0, 1e-6, 1.0 - 1e-6)
     logit_thresh = float(np.log(t / (1.0 - t)))
+    # dispatches by residency: numpy compare on host leaves, jnp on device
     mask = cloud.opacity >= logit_thresh
     return _apply_mask(cloud, mask, f"alpha filter (min {limit})")
 

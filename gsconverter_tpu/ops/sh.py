@@ -28,14 +28,25 @@ SH_C3 = (-0.5900435899266435, 2.890611442640554, -0.4570457994644658,
          -0.5900435899266435)
 
 
+@jax.jit
+def _active_coeffs_device(rest: jax.Array) -> jax.Array:
+    """[15] per-coeff any-nonzero flags, reduced ON DEVICE."""
+    return jnp.any(rest != 0, axis=(0, 1))
+
+
 def detect_active_degree(cloud: SplatCloud) -> int:
     """Active SH degree from content (last non-zero AC coeff).
 
     Host-returning (concrete int) — used at pipeline staging time, mirroring
-    reference converter.py:129-146.
+    reference converter.py:129-146.  Residency-aware: host clouds reduce in
+    numpy; device clouds reduce on device and read back 15 bools — never the
+    full [N,3,15] tensor (the round-2 e2e bottleneck: a 180 MB device->host
+    pull per conversion at 1M splats).
     """
-    rest = np.asarray(cloud.sh_rest)  # [N,3,15]
-    nonzero = np.any(rest != 0, axis=(0, 1))  # [15] per-coeff-any-channel
+    if isinstance(cloud.sh_rest, np.ndarray):
+        nonzero = np.any(cloud.sh_rest != 0, axis=(0, 1))  # [15]
+    else:
+        nonzero = np.asarray(_active_coeffs_device(cloud.sh_rest))
     # Per-channel coeff j active for any channel -> degree from j.
     active = np.nonzero(nonzero)[0]
     if active.size == 0:
@@ -57,39 +68,56 @@ def cap_degree(cloud: SplatCloud, degree: int | None) -> SplatCloud:
     if degree is None or degree >= 3:
         return cloud
     dim = DIM_FOR_DEGREE[degree]
-    mask = (jnp.arange(cloud.sh_rest.shape[-1]) < dim).astype(cloud.sh_rest.dtype)
+    if isinstance(cloud.sh_rest, np.ndarray):
+        rest = cloud.sh_rest.copy()
+        rest[:, :, dim:] = 0.0
+    else:
+        mask = (jnp.arange(cloud.sh_rest.shape[-1]) < dim).astype(cloud.sh_rest.dtype)
+        rest = cloud.sh_rest * mask[None, None, :]
     return cloud.replace(
-        sh_rest=cloud.sh_rest * mask[None, None, :],
+        sh_rest=rest,
         active_sh_degree=min(cloud.active_sh_degree, degree),
     )
 
 
-def rgb_linear_from_dc(sh_dc: jax.Array) -> jax.Array:
+def _xp(a):
+    """numpy for host inputs, jnp for device arrays / tracers
+    (residency-generic helpers, see ops/quant.py)."""
+    return np if isinstance(a, (np.ndarray, np.generic)) else jnp
+
+
+def rgb_linear_from_dc(sh_dc) -> jax.Array:
     """[N,3] linear RGB in [0,1] from SH DC."""
-    return jnp.clip(0.5 + SH_C0 * sh_dc, 0.0, 1.0)
+    return _xp(sh_dc).clip(0.5 + SH_C0 * sh_dc, 0.0, 1.0)
 
 
-def rgb_u8_srgb_from_dc(sh_dc: jax.Array) -> jax.Array:
+def rgb_u8_srgb_from_dc(sh_dc) -> jax.Array:
     """Display RGB with sRGB gamma (reference data_processor.py:321-333)."""
+    xp = _xp(sh_dc)
     lin = rgb_linear_from_dc(sh_dc)
-    return (jnp.power(lin, 1.0 / 2.2) * 255.0).astype(jnp.uint8)
+    return (xp.power(lin, 1.0 / 2.2) * 255.0).astype(jnp.uint8)
 
 
-def rgb_u8_linear_from_dc(sh_dc: jax.Array) -> jax.Array:
+def rgb_u8_linear_from_dc(sh_dc) -> jax.Array:
     """Linear-space u8 RGB used inside binary codecs (reference splat.py:135)."""
-    return jnp.clip((0.5 + SH_C0 * sh_dc) * 255.0, 0.0, 255.0).astype(jnp.uint8)
+    xp = _xp(sh_dc)
+    return xp.clip((0.5 + SH_C0 * sh_dc) * 255.0, 0.0, 255.0).astype(jnp.uint8)
 
 
-def dc_from_rgb_u8(rgb: jax.Array) -> jax.Array:
+def dc_from_rgb_u8(rgb) -> jax.Array:
     """Inverse of the linear u8 mapping (reference splat.py:75-77)."""
     return (rgb.astype(jnp.float32) / 255.0 - 0.5) / SH_C0
 
 
 def add_rgb(cloud: SplatCloud) -> SplatCloud:
     """Attach display RGB synthesized from DC if missing
-    (reference data_processor.py:233-271)."""
+    (reference data_processor.py:233-271).  Residency-preserving."""
     if cloud.rgb is not None:
         return cloud
+    if isinstance(cloud.sh_dc, np.ndarray):
+        lin = np.clip(0.5 + SH_C0 * cloud.sh_dc, 0.0, 1.0)
+        rgb = (np.power(lin, 1.0 / 2.2) * 255.0).astype(np.uint8)
+        return cloud.replace(rgb=rgb)
     return cloud.replace(rgb=rgb_u8_srgb_from_dc(cloud.sh_dc))
 
 

@@ -200,10 +200,8 @@ _sor_md_masked = _sor_md_impl  # staged-jit composition (see docstring)
 # flyers ranked as outliers.
 
 
-@jax.jit
-def _sor_window_bin(pos: jax.Array, valid: jax.Array,
-                    rot=None, shift=(0.0, 0.0, 0.0)):
-    """Morton sort over the valid points (invalid rows sort to the end).
+def _morton_key(pos, valid, rot, shift):
+    """Space-filling key for one ensemble ordering (invalid rows sort last).
 
     ``rot``/``shift`` select an alternative space-filling order for the
     multi-pass recall ensemble: each ordering misses a different neighbor
@@ -217,6 +215,10 @@ def _sor_window_bin(pos: jax.Array, valid: jax.Array,
     in any axis-permuted order).  Measured on the adversarial two-blob
     scene (tests/test_filters.py): identity-only 1 pass ~93% KNN recall;
     4 rotated+shifted passes reach KDTree mask agreement 0.9996.
+
+    Single source of truth for the quantization/shift keying — used by both
+    ``_sor_window_bin`` and the fused ensemble loop so the two window paths
+    can never drift apart.
     """
     from .quant import morton3_u32
 
@@ -227,9 +229,17 @@ def _sor_window_bin(pos: jax.Array, valid: jax.Array,
     rng = jnp.where(maxs > mins, maxs - mins, 1.0)
     t = jnp.clip((posr - mins) / rng, 0.0, 1.0)
     g = (t * 511.0 + jnp.asarray(shift, jnp.float32) * 512.0).astype(jnp.uint32)
-    mkey = jnp.where(
+    return jnp.where(
         valid, morton3_u32(g[:, 0], g[:, 1], g[:, 2]), jnp.uint32(0xFFFFFFFF)
     )
+
+
+@jax.jit
+def _sor_window_bin(pos: jax.Array, valid: jax.Array,
+                    rot=None, shift=(0.0, 0.0, 0.0)):
+    """Morton sort over the valid points (invalid rows sort to the end).
+    Keying delegated to ``_morton_key`` (shared with the ensemble loop)."""
+    mkey = _morton_key(pos, valid, rot, shift)
     order = jnp.argsort(mkey)
     return order, pos[order], valid[order]
 
@@ -291,6 +301,7 @@ def _sor_window_loop(spos, svalid, k: int, window: int, block: int, approx: bool
 # cancellation) and self-pairs land on an exact 0.0.
 
 _D_VALID_MAX = 1e12  # pad sentinels sit at PAD_POS=1e15; real pairs are closer
+_PALLAS_BLOCK = 512  # lane-tile block of the Pallas kernel (scoped VMEM < 16MB)
 
 
 def _window_md_kernel(xt_ref, *refs, k: int, iters: int, window: int,
@@ -433,22 +444,6 @@ _PASS_ORDERS = (
 )
 
 
-def _morton_key(pos, valid, rot, shift):
-    """Space-filling key for one ensemble ordering (invalid rows sort last)."""
-    from .quant import morton3_u32
-
-    posr = pos if rot is None else pos @ jnp.asarray(rot, jnp.float32).T
-    big = jnp.float32(PAD_POS)
-    mins = jnp.min(jnp.where(valid[:, None], posr, big), axis=0)
-    maxs = jnp.max(jnp.where(valid[:, None], posr, -big), axis=0)
-    rng = jnp.where(maxs > mins, maxs - mins, 1.0)
-    t = jnp.clip((posr - mins) / rng, 0.0, 1.0)
-    g = (t * 511.0 + jnp.asarray(shift, jnp.float32) * 512.0).astype(jnp.uint32)
-    return jnp.where(
-        valid, morton3_u32(g[:, 0], g[:, 1], g[:, 2]), jnp.uint32(0xFFFFFFFF)
-    )
-
-
 def _sor_md_window(pos, valid, k: int, approx: bool = False,
                    window: int = 512, block: int = 1024, passes: int = 2,
                    impl: str = "xla"):
@@ -468,8 +463,9 @@ def _sor_md_window(pos, valid, k: int, approx: bool = False,
     # so any N >= 512 qualifies).
     k = min(int(k), MAX_K)
     n = pos.shape[0]
-    pallas_block = 512  # smaller lane tile keeps scoped VMEM under 16MB
-    use_pallas = impl.startswith("pallas") and n % pallas_block == 0
+    pallas_block = _PALLAS_BLOCK
+    use_pallas = (impl.startswith("pallas") and n % pallas_block == 0
+                  and pallas_block % window == 0)
     # invalid rows -> sentinel positions, so validity survives the sorts
     # (and the Pallas kernel recovers it from the coordinates alone)
     cpos = jnp.where(valid[:, None], pos, PAD_POS)
@@ -543,7 +539,7 @@ def _sor_mask_padded(pos, n_valid, k: int, sigma, approx: bool = False,
 
 
 def sor_mask(pos: jax.Array, k: int, sigma: float, approx: bool | None = None,
-             method: str = "window", passes: int = 2,
+             method: str = "window", passes: int | None = None,
              impl: str = "auto", window: int = 512) -> jax.Array:
     """Keep-mask: mean_knn_dist < mean + sigma * std (reference gpu_ops.py:259-263).
 
@@ -551,20 +547,32 @@ def sor_mask(pos: jax.Array, k: int, sigma: float, approx: bool | None = None,
     ``method``: "window" (default; Morton-window candidates, MXU distances,
     exact for n <= 3072) or "grid" (27-cell exact grid scan, gather-heavy).
     ``passes``: window-method recall ensemble — md is the elementwise MIN
-    over this many space-filling orderings (2 gives >0.999 KDTree mask
-    agreement on adversarial clustered scenes; 1 is the cheap single-pass).
+    over this many space-filling orderings.  Default (None) resolves by
+    sigma: 1 pass when sigma >= 3 (the production slider's floor; measured
+    single-pass mask agreement vs an exact KDTree is already > 0.999
+    there because the mu + sigma*std threshold sits far above the md
+    overestimation), 2 passes for tighter thresholds.
     ``approx``: select the k nearest via ``jax.lax.approx_max_k`` (the TPU
     partial-reduction primitive, ~16x faster than an exact per-row top-k,
     recall 0.95) instead of ``lax.top_k``.  Defaults to True for the window
     method — the candidate window is already approximate, and measured mask
     agreement vs an exact KDTree is >0.9999 either way — and False for grid.
+    NOTE: the Pallas window kernel uses its own binary-search radius
+    approximation and ignores ``approx``; an explicit approx=False under
+    impl="auto" therefore routes to the XLA loop (exact top-k within the
+    window).
     ``impl``: "auto" resolves to the Pallas VMEM-resident kernel on TPU
     and the XLA loop elsewhere (resolved here, OUTSIDE jit, from the
     array's devices — inside a trace the platform is unknowable, the
     round-1 sharded-kmeans dispatch bug).
     """
+    explicit_exact = approx is False
     if approx is None:
         approx = method == "window"
+    if passes is None:
+        passes = 1 if float(sigma) >= 3.0 else 2
+    if window <= 0:
+        raise ValueError(f"sor_mask: window must be positive, got {window}")
     pos = jnp.asarray(pos)  # committed to a device BEFORE impl resolution
     n = pos.shape[0]
     p = next_pow2(n)
@@ -572,6 +580,17 @@ def sor_mask(pos: jax.Array, k: int, sigma: float, approx: bool | None = None,
         from .kmeans import _resolve_impl
 
         impl = _resolve_impl(pos, "auto") if p >= 4096 else "xla"
+        if explicit_exact and impl.startswith("pallas"):
+            impl = "xla"  # caller asked for exact within-window top-k
+    if impl.startswith("pallas") and _PALLAS_BLOCK % window != 0:
+        # Mosaic kernel constraint: window must divide its 512-lane block.
+        # Explicit pallas request -> clear error; auto resolution above
+        # never lands here with the default window.
+        raise ValueError(
+            f"sor_mask: impl='pallas' requires window to divide "
+            f"{_PALLAS_BLOCK} (got {window}); use impl='xla' for arbitrary "
+            "windows"
+        )
     posp = pad_rows(pos, p, PAD_POS)
     return _sor_mask_padded(
         posp, jnp.int32(n), min(int(k), MAX_K), jnp.float32(sigma),

@@ -40,40 +40,46 @@ def sharded_sor_mask(
     sigma: float = 10.5,
     halo: int = 4096,
     axis: str = "data",
+    passes: int | None = None,
+    window: int = 512,
 ) -> jax.Array:
     """Keep-mask over positions [N,3], computed over the device mesh.
 
-    Any N is accepted: the array is padded internally to a multiple of the
-    mesh size with sentinel rows that are excluded from candidates and from
-    the global mu/sigma.  The returned mask is in the ORIGINAL input order.
-    ``halo`` is the fixed per-boundary exchange width; boundary cells denser
-    than the halo are truncated (documented approximation, same spirit as
-    the reference's 27-cell ring cutoff, gpu_ops.py:130-176).
+    Parity-by-construction with the single-device window method
+    (ops/sor.py): every ensemble pass performs the SAME global Morton sort
+    (XLA distributed sort) the single-device path performs, shards own
+    contiguous slabs of the sorted order, and ``window``-wide candidate
+    context across slab boundaries comes from a ring-``ppermute`` halo
+    exchange.  Shard slabs and the halo are rounded to the window loop's
+    block size, so per-shard block boundaries coincide with the
+    single-device partition — per-point mean-KNN distances are numerically
+    IDENTICAL to the single-device kernel for every point (halo >= window
+    guarantees full candidate context; ring-end halos are scrubbed to the
+    PAD_POS sentinel exactly like the single-device array ends).  The only
+    remaining divergence is the reduction order of the global mu/sigma.
+
+    Any N is accepted: padded internally with sentinel rows that sort to
+    the tail and are excluded from candidates and statistics.  The returned
+    mask is in the ORIGINAL input order.
     """
     from ..ops.padding import PAD_POS
+    from ..ops.sor import (_PASS_ORDERS, _morton_key, _sor_window_loop,
+                           _sor_window_loop_pallas, _D_VALID_MAX, MAX_K,
+                           _PALLAS_BLOCK)
 
     n = pos.shape[0]
     n_dev = mesh.devices.size
-    pad = (-n) % n_dev
-    if pad:
-        pos = jnp.pad(pos, ((0, pad), (0, 0)), constant_values=PAD_POS)
-    np_ = n + pad
-    halo = min(halo, np_ // n_dev)
-
-    # Global spatial sort: x-major key makes shard boundaries x-slabs.
-    # Sentinel pad rows carry the max key and sort to the end.
+    k = min(int(k), MAX_K)
+    if passes is None:
+        passes = 1 if float(sigma) >= 3.0 else 2
+    impl = mesh_impl(mesh)
+    blk = 1024 if impl == "xla" else _PALLAS_BLOCK
+    blk = max(blk, _PALLAS_BLOCK)  # keep both impls block-aligned
+    per = -(-n // (n_dev * blk)) * blk  # rows per shard, multiple of blk
+    np_ = per * n_dev
+    pos_p = jnp.pad(pos, ((0, np_ - n), (0, 0)), constant_values=PAD_POS)
+    halo = min(-(-max(halo, window) // blk) * blk, per)
     real = jnp.arange(np_) < n
-    big = jnp.float32(PAD_POS)
-    mins = jnp.min(jnp.where(real[:, None], pos, big), axis=0)
-    maxs = jnp.max(jnp.where(real[:, None], pos, -big), axis=0)
-    extent = jnp.where(maxs - mins > 0, maxs - mins, 1.0)
-    tcoord = jnp.clip((pos - mins) / extent * 1023.0, 0, 1023).astype(jnp.int32)
-    key = (tcoord[:, 0] << 20) | (tcoord[:, 1] << 10) | tcoord[:, 2]
-    key = jnp.where(real, key, jnp.int32(0x7FFFFFFF))
-    order = jnp.argsort(key)  # distributed sort under jit
-    spos = pos[order]
-    n_valid = jnp.int32(n)
-
     spec = P(axis, None)
 
     @functools.partial(
@@ -83,14 +89,11 @@ def sharded_sor_mask(
         out_specs=P(axis),
         check_vma=False,
     )
-    def local_sor(block):
-        from ..ops.padding import next_pow2, pad_rows
-
-        # ring halo exchange: neighbor shards' boundary slabs
-        left_edge = block[:halo]  # my lowest keys -> send to left neighbor
-        right_edge = block[-halo:]  # my highest keys -> send to right neighbor
+    def local_md(block):
         idx = jax.lax.axis_index(axis)
         nd = jax.lax.axis_size(axis)
+        left_edge = block[:halo]  # my lowest keys -> send to left neighbor
+        right_edge = block[-halo:]  # my highest keys -> right neighbor
         # receive right neighbor's left edge (keys just above mine)
         from_right = jax.lax.ppermute(
             left_edge, axis, [(i, (i - 1) % nd) for i in range(nd)]
@@ -99,43 +102,33 @@ def sharded_sor_mask(
         from_left = jax.lax.ppermute(
             right_edge, axis, [(i, (i + 1) % nd) for i in range(nd)]
         )
-        b = block.shape[0]
-        # pad rows sorted to the tail of the LAST shards; a candidate row is
-        # real iff its global sorted index < n_valid
-        grow = idx * b + jnp.arange(b)
-        local_real = grow < n_valid
+        # ring-wrap halos at the ends of the global order don't exist on a
+        # single device either — scrub to the sentinel (the validity
+        # representation BOTH window impls consume)
+        from_left = jnp.where(idx == 0, PAD_POS, from_left)
+        from_right = jnp.where(idx == nd - 1, PAD_POS, from_right)
         ext = jnp.concatenate([from_left, block, from_right], axis=0)
-        # wrap-around halos at the ring ends are invalid candidates
-        valid = jnp.concatenate([
-            jnp.broadcast_to(idx != 0, (halo,)) & ((grow[0] - halo + jnp.arange(halo)) < n_valid),
-            local_real,
-            jnp.broadcast_to(idx != nd - 1, (halo,)) & ((grow[-1] + 1 + jnp.arange(halo)) < n_valid),
-        ])
-        p = next_pow2(ext.shape[0])
-        ext = pad_rows(ext, p, PAD_POS)
-        valid = pad_rows(valid, p, False)
-        # invalid rows (wrap-around halos) carry REAL coordinates; scrub
-        # them to the sentinel so the Pallas path — which recovers validity
-        # from PAD_POS — excludes them exactly like the XLA path's mask
-        ext = jnp.where(valid[:, None], ext, PAD_POS)
-        # same Morton-window method as the single-device path (ops/sor.py) so
-        # isolated flyers get their TRUE neighbor distances (the grid method's
-        # ring-reach fill underestimates points with no in-ring neighbors)
-        md = sor_ops._sor_md_window(
-            ext, valid, min(k, 50), approx=True, impl=mesh_impl(mesh)
-        )[halo : halo + b]
-        # global mean/std via psum over REAL rows only
-        mdv = jnp.where(local_real, md, 0.0)
-        s1 = jax.lax.psum(jnp.sum(mdv), axis)
-        s2 = jax.lax.psum(jnp.sum(mdv * mdv), axis)
-        cnt = jnp.maximum(n_valid.astype(jnp.float32), 1.0)
-        mean = s1 / cnt
-        std = jnp.sqrt(jnp.maximum(s2 / cnt - mean * mean, 0.0))
-        return (md < mean + sigma * std) & local_real
+        if impl.startswith("pallas"):
+            md = _sor_window_loop_pallas(ext, k, window, _PALLAS_BLOCK)
+        else:
+            svalid = ext[:, 0] < _D_VALID_MAX
+            md = _sor_window_loop(ext, svalid, k, window, blk, True)
+        return md[halo:halo + block.shape[0]]
 
-    mask_sorted = local_sor(jax.device_put(spos, NamedSharding(mesh, spec)))
-    # unsort to original order, drop pad rows
-    return jnp.zeros(np_, bool).at[order].set(mask_sorted)[:n]
+    cmd = jnp.full(np_, jnp.inf, jnp.float32)
+    for rot, shift in _PASS_ORDERS[:max(1, passes)]:
+        key = _morton_key(pos_p, real, rot, shift)
+        order = jnp.argsort(key)  # distributed sort under jit
+        spos = jax.device_put(pos_p[order], NamedSharding(mesh, spec))
+        md_sorted = local_md(spos)
+        md = jnp.zeros(np_, jnp.float32).at[order].set(md_sorted)
+        cmd = jnp.minimum(cmd, md)
+
+    cnt = jnp.float32(max(n, 1))
+    mean = jnp.sum(jnp.where(real, cmd, 0.0)) / cnt
+    var = jnp.sum(jnp.where(real, (cmd - mean) ** 2, 0.0)) / cnt
+    thresh = mean + sigma * jnp.sqrt(jnp.maximum(var, 0.0))
+    return ((cmd < thresh) & real)[:n]
 
 
 # -------------------------------------------------------- distributed kmeans
@@ -342,8 +335,45 @@ def sharded_render(cloud, cam, mesh: Mesh, axis: str = "data", **kw):
 # ----------------------------------------- tile-sharded render (all_to_all)
 
 
+def band_occupancy(cloud, cam, mesh: Mesh, axis: str = "data") -> jax.Array:
+    """[n_dev, n_dev] count of splats each SOURCE shard would send to each
+    destination row-band — the exact per-(src,dest) demand that
+    ``sharded_render_tiles``'s fixed per-destination budget must cover.
+    Row i, col j = source shard i's splats covering band j."""
+    from ..render import rasterizer as rz
+    from ..render.project import project_gaussians
+
+    n_dev = mesh.devices.size
+    h = cam.height
+    rows_per = h // n_dev
+    spec2 = P(axis, None)
+
+    @functools.partial(
+        shard_map, mesh=mesh,
+        in_specs=(spec2, spec2, spec2),
+        out_specs=P(axis, None),
+        check_vma=False,
+    )
+    def count(pos, log_scale, quat):
+        p = project_gaussians(pos, log_scale, quat, cam)
+        y0 = jnp.clip(p["means2d"][:, 1] - p["radius"], 0, h - 1)
+        y1 = jnp.clip(p["means2d"][:, 1] + p["radius"], 0, h - 1)
+        d0 = (y0 // rows_per).astype(jnp.int32)
+        d1 = (y1 // rows_per).astype(jnp.int32)
+        dests = jnp.arange(n_dev)
+        covers = (
+            (d0[:, None] <= dests[None, :]) & (d1[:, None] >= dests[None, :])
+            & p["in_front"][:, None]
+        )
+        return jnp.sum(covers, axis=0, dtype=jnp.int32)[None, :]
+
+    put = lambda a: jax.device_put(
+        a, NamedSharding(mesh, P(axis, *([None] * (a.ndim - 1)))))
+    return count(put(cloud.pos), put(cloud.log_scale), put(cloud.quat))
+
+
 def sharded_render_tiles(cloud, cam, mesh: Mesh, axis: str = "data",
-                         budget: int = 4096, **kw):
+                         budget: int | None = None, **kw):
     """Screen-space parallel render: image row-bands sharded across chips,
     splats redistributed with ``all_to_all`` (SURVEY.md §2.4 "tiles sharded
     ... splat->tile binning with all_to_all redistribution").
@@ -352,9 +382,17 @@ def sharded_render_tiles(cloud, cam, mesh: Mesh, axis: str = "data",
     entries per destination, nearest-first in depth order), one all_to_all
     delivers every band's splats to its owner chip, which depth-sorts the
     merged set and rasterizes its rows.  cloud must be padded to n_dev.
+
+    ``budget=None`` (default) AUTO-SIZES from the measured per-(src,dest)
+    demand (``band_occupancy``), rounded to a power of two — no splat is
+    ever silently dropped, at the cost of one scalar readback and one
+    compile per budget bucket.  An explicit integer budget is honored
+    as a hard cap; any resulting truncation is counted and reported via
+    ``status_print`` (far splats drop first — nearest-first selection).
     """
     from ..render import rasterizer as rz
     from ..render.project import project_gaussians
+    from ..utils.log import status_print
 
     n_dev = mesh.devices.size
     h, w = cam.height, cam.width
@@ -364,6 +402,22 @@ def sharded_render_tiles(cloud, cam, mesh: Mesh, axis: str = "data",
     proj = project_gaussians(cloud.pos, cloud.log_scale, cloud.quat, cam)
     order = jnp.argsort(jnp.where(proj["in_front"], proj["depth"], jnp.inf))
     sc = cloud.select(order)
+
+    # demand is measured on the depth-SORTED shards (what actually sends)
+    occ = band_occupancy(sc, cam, mesh, axis)
+    max_need = int(jnp.max(occ))
+    if budget is None:
+        # pow2 bucket keeps recompiles rare; cap at the shard size (a shard
+        # cannot send more than it owns)
+        budget = min(max(256, 1 << max(0, (max_need - 1)).bit_length()),
+                     cloud.n // n_dev)
+    elif max_need > budget:
+        dropped = int(jnp.sum(jnp.maximum(occ - budget, 0)))
+        status_print(
+            f"Warning: sharded_render_tiles budget={budget} saturated — "
+            f"max band demand {max_need}; {dropped} farthest splat-sends "
+            "truncated (pass budget=None to auto-size)."
+        )
 
     spec2 = P(axis, None)
 

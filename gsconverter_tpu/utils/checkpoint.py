@@ -51,8 +51,6 @@ def save(cloud: SplatCloud, directory: str, stage: str) -> str:
 
 
 def load(directory: str, stage: str) -> SplatCloud:
-    import jax.numpy as jnp
-
     snap = os.path.join(directory, stage)
     with open(os.path.join(snap, MANIFEST)) as f:
         manifest = json.load(f)
@@ -64,18 +62,19 @@ def load(directory: str, stage: str) -> SplatCloud:
         k: np.concatenate([p[k] for p in parts]) for k in parts[0]
     }
     extras = {
-        k[len("extra__"):]: jnp.asarray(v)
+        k[len("extra__"):]: v
         for k, v in merged.items() if k.startswith("extra__")
     }
+    # host-resident leaves: the pipeline uploads per-op (utils/transfer.py)
     return SplatCloud(
-        pos=jnp.asarray(merged["pos"]),
-        sh_dc=jnp.asarray(merged["sh_dc"]),
-        sh_rest=jnp.asarray(merged["sh_rest"]),
-        opacity=jnp.asarray(merged["opacity"]),
-        log_scale=jnp.asarray(merged["log_scale"]),
-        quat=jnp.asarray(merged["quat"]),
-        normal=jnp.asarray(merged["normal"]),
-        rgb=jnp.asarray(merged["rgb"]) if "rgb" in merged else None,
+        pos=merged["pos"],
+        sh_dc=merged["sh_dc"],
+        sh_rest=merged["sh_rest"],
+        opacity=merged["opacity"],
+        log_scale=merged["log_scale"],
+        quat=merged["quat"],
+        normal=merged["normal"],
+        rgb=merged.get("rgb"),
         extras=extras,
         active_sh_degree=manifest["active_sh_degree"],
     )

@@ -217,7 +217,10 @@ def write(path: str, elements: list[PlyElement], comments: list[str] | None = No
         for el in elements:
             if not el.list_props:
                 le = el.data.astype(el.data.dtype.newbyteorder("<"), copy=False)
-                f.write(le.tobytes())
+                if le.flags.c_contiguous:
+                    f.write(le)  # zero-copy buffer write
+                else:
+                    f.write(le.tobytes())
             else:
                 _write_rows_with_lists(f, el)
 

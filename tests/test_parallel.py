@@ -58,9 +58,10 @@ def test_sharded_sor_matches_single_device():
     # flyers removed in both
     assert m_multi[4000:4024].mean() < 0.2
     assert m_single[4000:4024].mean() < 0.2
-    # overall agreement (per-shard adaptive cell sizes + halo truncation
-    # shift borderline inlier decisions slightly at aggressive sigma)
-    assert (m_multi == m_single).mean() > 0.90
+    # parity-by-construction: every pass shares the single-device path's
+    # global Morton order and block partition, so per-point md matches and
+    # only the mu/sigma reduction order can flip borderline decisions
+    assert (m_multi == m_single).mean() >= 0.999
 
 
 def test_sharded_render_matches_single():
@@ -119,3 +120,47 @@ def test_tile_sharded_render_matches_single():
     img_s = np.asarray(render(c, cam, max_per_tile=256))
     assert img_t.shape == img_s.shape
     assert float(psnr(jnp.asarray(img_t), jnp.asarray(img_s))) > 35.0
+
+
+def test_tile_sharded_render_budget_pressure():
+    """Budget accounting under REAL pressure: every splat covers every band
+    (huge radii), so per-(src,dest) demand == the full shard size.
+
+    - auto budget (None) must size itself to the demand: no truncation and
+      the image matches the single-device render;
+    - an explicit budget at 4x pressure (demand/4) must still land within
+      a bounded PSNR of the oracle because truncation drops FARTHEST
+      splats first (nearest-first selection).
+    """
+    from gsconverter_tpu.parallel.distributed import (band_occupancy,
+                                                      sharded_render_tiles)
+    from gsconverter_tpu.parallel.sharding import pad_cloud
+    from gsconverter_tpu.render import Camera, render, psnr
+
+    c = make_cloud(512, sh_degree=0)
+    c = c.replace(
+        pos=c.pos * 0.3,
+        log_scale=jnp.full_like(c.log_scale, -0.5),  # big -> all bands
+        opacity=jnp.clip(c.opacity, -3.0, 0.0),
+    )
+    cam = Camera.look_at(eye=(0, 0, -6), target=(0, 0, 0), width=32, height=128)
+    mesh = make_mesh()
+    padded, _ = pad_cloud(c, 8)
+
+    occ = np.asarray(band_occupancy(padded, cam, mesh))
+    assert occ.shape == (8, 8)
+    demand = int(occ.max())
+    assert demand >= 32, "scene must create real per-band demand"
+
+    img_s = np.asarray(render(c, cam, max_per_tile=512))
+    # auto budget: lossless redistribution
+    img_auto = np.asarray(
+        sharded_render_tiles(padded, cam, mesh, budget=None, max_per_tile=512)
+    )
+    assert float(psnr(jnp.asarray(img_auto), jnp.asarray(img_s))) > 35.0
+    # 4x pressure: bounded degradation, farthest splats dropped first
+    img_cap = np.asarray(
+        sharded_render_tiles(padded, cam, mesh, budget=max(1, demand // 4),
+                             max_per_tile=512)
+    )
+    assert float(psnr(jnp.asarray(img_cap), jnp.asarray(img_s))) > 15.0
