@@ -162,6 +162,17 @@ class Converter:
                     ckpt.save(cloud, ckpt_dir, name)
                 return cloud
 
+            # Deferred compaction (host pipeline, no checkpointing): the
+            # geometric filters only read pos/opacity, but per-stage
+            # compaction gathers EVERY leaf (~250 MB/stage at 1M splats).
+            # Run the filter chain on a lightweight proxy cloud whose only
+            # full-size leaves are pos/opacity plus a row-index extra; the
+            # surviving indices gather the real cloud ONCE after the chain.
+            defer_compact = (
+                ckpt_dir is None and cloud.is_host
+                and (mesh is None or mesh.devices.size <= 1)
+            )
+
             # 3. SH capping: min(source_active, requested, format limit)
             pbar.set_description("Processing")
             with self.timer.stage("sh_cap_detect", cloud.n):
@@ -183,19 +194,48 @@ class Converter:
                 final_deg = min(final_deg, target_limit)
                 if final_deg < source_deg:
                     status_print(f"SH Reduction: Source degree {source_deg} -> Target degree {final_deg}")
-            cloud = run_stage("sh_cap", lambda c: sh.cap_degree(c, final_deg), cloud)
+            if final_deg < source_deg:
+                cloud = run_stage("sh_cap", lambda c: sh.cap_degree(c, final_deg), cloud)
+            else:
+                # content already within the target degree; just sync metadata
+                cloud = cloud.replace(
+                    active_sh_degree=min(cloud.active_sh_degree, final_deg)
+                )
             pbar.update(5)
 
             # 4. filters (order: bbox -> alpha -> density -> SOR -> auto-bbox)
             pbar.set_description("Filtering")
-            if opts.bbox:
-                cloud = run_stage("bbox", lambda c: filters.crop_by_bbox(c, opts.bbox), cloud)
-            if opts.min_opacity is not None and opts.min_opacity > 0:
-                cloud = run_stage("alpha", lambda c: filters.alpha_filter(c, opts.min_opacity), cloud)
             run_density = (
                 (opts.density_voxel_size is not None and opts.density_threshold is not None)
                 or opts.density_sensitivity is not None
             )
+            run_sor = (
+                (opts.sor_k is not None and opts.sor_sigma is not None)
+                or opts.sor_intensity is not None
+            )
+            run_bbox = bool(opts.bbox)
+            run_alpha = opts.min_opacity is not None and opts.min_opacity > 0
+            any_filter = run_bbox or run_alpha or run_density or run_sor
+
+            full_cloud = None
+            if defer_compact and any_filter:
+                import numpy as np
+
+                full_cloud = cloud
+                n0 = cloud.n
+                empty = np.zeros((n0, 0), np.float32)
+                cloud = SplatCloud(
+                    pos=cloud.pos, opacity=cloud.opacity,
+                    sh_dc=empty, sh_rest=np.zeros((n0, 0, 0), np.float32),
+                    log_scale=empty, quat=empty, normal=empty,
+                    extras={"__orig_idx__": np.arange(n0, dtype=np.int64)},
+                    active_sh_degree=full_cloud.active_sh_degree,
+                )
+
+            if run_bbox:
+                cloud = run_stage("bbox", lambda c: filters.crop_by_bbox(c, opts.bbox), cloud)
+            if run_alpha:
+                cloud = run_stage("alpha", lambda c: filters.alpha_filter(c, opts.min_opacity), cloud)
             if run_density:
                 cloud = run_stage(
                     "density",
@@ -211,10 +251,6 @@ class Converter:
                     cloud,
                 )
             pbar.update(10)
-            run_sor = (
-                (opts.sor_k is not None and opts.sor_sigma is not None)
-                or opts.sor_intensity is not None
-            )
             if run_sor:
                 pbar.set_description("Filtering (SOR)")
                 cloud = run_stage(
@@ -231,6 +267,16 @@ class Converter:
             pbar.update(10)
             if opts.auto_bbox:
                 cloud = filters.auto_bbox(cloud)
+
+            if full_cloud is not None:
+                # one gather applies the whole surviving-row composition
+                idx = cloud.extras["__orig_idx__"]
+                with self.timer.stage("compact", full_cloud.n):
+                    if len(idx) == full_cloud.n:
+                        gathered = full_cloud
+                    else:
+                        gathered = full_cloud.select(idx)
+                cloud = gathered
 
             # 5. RGB synthesis
             if (self.target_format in FORMATS_NEEDING_RGB and not cloud.has_rgb) or opts.rgb:

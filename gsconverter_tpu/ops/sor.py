@@ -446,7 +446,7 @@ _PASS_ORDERS = (
 
 def _sor_md_window(pos, valid, k: int, approx: bool = False,
                    window: int = 512, block: int = 1024, passes: int = 2,
-                   impl: str = "xla"):
+                   impl: str = "xla", iters: int = 10):
     # Tuning history (v5e, 4M points): the original argsort+gather bin +
     # per-pass scatter-back cost ~160ms/pass on top of the window loop.
     # This version carries the payload THROUGH a variadic ``lax.sort``
@@ -480,7 +480,7 @@ def _sor_md_window(pos, valid, k: int, approx: bool = False,
         cpos = jnp.stack([x_, y_, z_], axis=1)
         if use_pallas:
             md_sorted = _sor_window_loop_pallas(
-                cpos, k, window, pallas_block,
+                cpos, k, window, pallas_block, iters=iters,
                 interpret=(impl == "pallas_interpret"),
             )
         else:
@@ -494,16 +494,17 @@ def _sor_md_window(pos, valid, k: int, approx: bool = False,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("k", "approx", "passes", "impl", "window")
+    jax.jit, static_argnames=("k", "approx", "passes", "impl", "window",
+                              "iters")
 )
 def _sor_mask_window_fused(pos, n_valid, sigma, k: int, approx: bool,
                            passes: int = 2, impl: str = "xla",
-                           window: int = 512):
+                           window: int = 512, iters: int = 10):
     """bin + window loop + stats as ONE program (one device round trip)."""
     p = pos.shape[0]
     valid = jnp.arange(p) < n_valid
     md = _sor_md_window(pos, valid, k, approx=approx, passes=passes,
-                        impl=impl, window=window)
+                        impl=impl, window=window, iters=iters)
     return _sor_mask_stats(md, valid, n_valid, sigma)
 
 
@@ -528,19 +529,28 @@ def _sor_mask_stats(md, valid, n_valid, sigma):
 
 def _sor_mask_padded(pos, n_valid, k: int, sigma, approx: bool = False,
                      method: str = "window", passes: int = 2,
-                     impl: str = "xla", window: int = 512):
+                     impl: str = "xla", window: int = 512, iters: int = 10):
     if method == "grid":
         p = pos.shape[0]
         valid = jnp.arange(p) < n_valid
         md = _sor_md_impl(pos, valid, k, DEFAULT_CAP, 2048, approx=approx)
         return _sor_mask_stats(md, valid, n_valid, sigma)
     return _sor_mask_window_fused(pos, n_valid, sigma, k, approx, passes,
-                                  impl=impl, window=window)
+                                  impl=impl, window=window, iters=iters)
+
+
+def resolve_window(k: int) -> int:
+    """Candidate window ~10x the neighbor count (pow2): measured mask
+    agreement vs an exact KDTree stays >0.999 at every production sigma
+    while the VPU-bound candidate scans shrink proportionally (sweep in
+    tools/sor_r3_prof.py; accuracy table in the round-3 notes)."""
+    return max(128, next_pow2(8 * min(int(k), MAX_K)))
 
 
 def sor_mask(pos: jax.Array, k: int, sigma: float, approx: bool | None = None,
              method: str = "window", passes: int | None = None,
-             impl: str = "auto", window: int = 512) -> jax.Array:
+             impl: str = "auto", window: int | None = None,
+             iters: int | None = None) -> jax.Array:
     """Keep-mask: mean_knn_dist < mean + sigma * std (reference gpu_ops.py:259-263).
 
     Pads to a power-of-two bucket internally — one compile per (bucket, k).
@@ -569,8 +579,19 @@ def sor_mask(pos: jax.Array, k: int, sigma: float, approx: bool | None = None,
     explicit_exact = approx is False
     if approx is None:
         approx = method == "window"
+    # Quality escalation by sigma: the production slider bottoms out at
+    # sigma=3 (intensity 10), where the mu+sigma*std threshold sits far
+    # above the md approximation error — one pass, a k-scaled candidate
+    # window and a 7-step radius search already give >0.999 KDTree mask
+    # agreement.  Tighter (expert) sigmas get the high-accuracy config:
+    # 2 ensemble passes, >=512 window, 10 search steps.
+    fast = float(sigma) >= 3.0
     if passes is None:
-        passes = 1 if float(sigma) >= 3.0 else 2
+        passes = 1 if fast else 2
+    if window is None:
+        window = resolve_window(k) if fast else max(512, resolve_window(k))
+    if iters is None:
+        iters = 7 if fast else 10
     if window <= 0:
         raise ValueError(f"sor_mask: window must be positive, got {window}")
     pos = jnp.asarray(pos)  # committed to a device BEFORE impl resolution
@@ -595,5 +616,5 @@ def sor_mask(pos: jax.Array, k: int, sigma: float, approx: bool | None = None,
     return _sor_mask_padded(
         posp, jnp.int32(n), min(int(k), MAX_K), jnp.float32(sigma),
         approx=approx, method=method, passes=passes, impl=impl,
-        window=window,
+        window=window, iters=iters,
     )[:n]

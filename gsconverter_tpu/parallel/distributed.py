@@ -41,7 +41,8 @@ def sharded_sor_mask(
     halo: int = 4096,
     axis: str = "data",
     passes: int | None = None,
-    window: int = 512,
+    window: int | None = None,
+    iters: int | None = None,
 ) -> jax.Array:
     """Keep-mask over positions [N,3], computed over the device mesh.
 
@@ -65,13 +66,18 @@ def sharded_sor_mask(
     from ..ops.padding import PAD_POS
     from ..ops.sor import (_PASS_ORDERS, _morton_key, _sor_window_loop,
                            _sor_window_loop_pallas, _D_VALID_MAX, MAX_K,
-                           _PALLAS_BLOCK)
+                           _PALLAS_BLOCK, resolve_window)
 
     n = pos.shape[0]
     n_dev = mesh.devices.size
     k = min(int(k), MAX_K)
+    fast = float(sigma) >= 3.0  # same quality escalation as sor_mask (parity)
     if passes is None:
-        passes = 1 if float(sigma) >= 3.0 else 2
+        passes = 1 if fast else 2
+    if window is None:
+        window = resolve_window(k) if fast else max(512, resolve_window(k))
+    if iters is None:
+        iters = 7 if fast else 10
     impl = mesh_impl(mesh)
     blk = 1024 if impl == "xla" else _PALLAS_BLOCK
     blk = max(blk, _PALLAS_BLOCK)  # keep both impls block-aligned
@@ -109,7 +115,8 @@ def sharded_sor_mask(
         from_right = jnp.where(idx == nd - 1, PAD_POS, from_right)
         ext = jnp.concatenate([from_left, block, from_right], axis=0)
         if impl.startswith("pallas"):
-            md = _sor_window_loop_pallas(ext, k, window, _PALLAS_BLOCK)
+            md = _sor_window_loop_pallas(ext, k, window, _PALLAS_BLOCK,
+                                         iters=iters)
         else:
             svalid = ext[:, 0] < _D_VALID_MAX
             md = _sor_window_loop(ext, svalid, k, window, blk, True)
