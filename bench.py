@@ -16,17 +16,22 @@ the LAST parseable line.
 /root/reference/gsconverter/processing/data_processor.py:155-174 and
 gpu_ops.py:48-52) on this host, scaled to the same workload.
 
-Each TPU workload runs in its own subprocess: this environment's TPU tunnel
-can fault and wedge on large programs, and isolation guarantees the driver
-always gets its JSON line.  Extra diagnostics go to stderr.
+Workloads run in ONE persistent worker subprocess driven over a line
+protocol: this environment's TPU tunnel charges a multi-minute stall on a
+fresh process's first device dispatch (see memory notes), so per-workload
+subprocesses would pay it seven times.  Fault isolation is preserved — a
+wedged or crashed workload kills the worker and a fresh one resumes the
+remaining workloads.  Extra diagnostics go to stderr.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import queue
 import subprocess
 import sys
+import threading
 import time
 
 import numpy as np
@@ -36,10 +41,10 @@ import numpy as np
 N_SOR = 4_194_304
 N_KM, D_KM, K_KM = 1_048_576, 24, 1024
 
-# Wall-clock budget for the extras phase (seconds).  The driver's overall
-# budget killed round 2 at ~30 min into extras; stay well under it and skip
-# workloads that no longer fit.
-EXTRAS_BUDGET = 1200.0
+# Wall-clock budget for the extras phase, measured from process start.
+# The headline JSON is printed before extras begin, so exceeding the
+# driver's patience mid-extra only costs the not-yet-run extras.
+EXTRAS_BUDGET = 2100.0
 T0 = time.monotonic()
 
 
@@ -47,7 +52,7 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-_CHILD = r"""
+_WORKER = r"""
 import sys, time, json
 from gsconverter_tpu.utils.cache import enable_compilation_cache
 enable_compilation_cache()
@@ -64,7 +69,6 @@ def sync(x):
 def mint_scene(path, n, seed=0, flyers=0.002):
     # write a synthetic n-splat 3DGS PLY (dense blob + far flyers);
     # host-resident cloud -> pure numpy encode, no device involvement
-    import numpy as np
     from gsconverter_tpu.cloud import SplatCloud
     from gsconverter_tpu.formats import get_handler
     rr = np.random.default_rng(seed)
@@ -89,156 +93,213 @@ def mint_scene(path, n, seed=0, flyers=0.002):
     get_handler("3dgs").write(c, path)
     return n
 
-kind = sys.argv[1]
-r = np.random.default_rng(0)
-if kind == "sor":
-    from gsconverter_tpu.ops.sor import sor_mask
-    n = int(sys.argv[2])
-    # tiny probe first: validates the program family on-device cheaply
-    tiny = jnp.asarray(r.normal(0, 3.0, (4096, 3)).astype(np.float32))
-    sync(sor_mask(tiny, k=25, sigma=10.5))
-    pos = jnp.asarray(r.normal(0, 3.0, (n, 3)).astype(np.float32))
-    sync(pos)  # materialize input on device before timing
-    f = lambda: sync(sor_mask(pos, k=25, sigma=10.5))
-    per_call = n
-elif kind == "kmeans":
-    from gsconverter_tpu.ops import kmeans as km
-    n, d, k = int(sys.argv[2]), int(sys.argv[3]), int(sys.argv[4])
-    tiny = jnp.asarray(r.normal(0, 1.0, (4096, d)).astype(np.float32))
-    sync(km.kmeans(tiny, 64, max_iter=2)[1])
-    x = jnp.asarray(r.normal(0, 1.0, (n, d)).astype(np.float32))
-    sync(x)
-    f = lambda: sync(km.kmeans(x, k, max_iter=10)[1])
-    per_call = n * 10
-elif kind == "e2e":
-    # BASELINE config 2: read -> bbox + min_opacity + SOR + density -> write
-    # (ply -> splat and ply -> ksplat), full-pipeline Msplats/s
-    import os, tempfile
-    from gsconverter_tpu.converter import convert
-    n = int(sys.argv[2])
-    d = tempfile.mkdtemp()
-    src = os.path.join(d, "scene.ply")
+def bench_loop(f, per_call, iters=3):
+    f()  # compile + warm
     t0 = time.perf_counter()
-    mint_scene(src, n)
-    print(f"mint: {time.perf_counter()-t0:.1f}s", file=sys.stderr, flush=True)
-    kw = dict(
-        bbox=(-60, -60, -60, 60, 60, 60), min_opacity=5,
-        sor_intensity=4, density_sensitivity=0.5, force=True, timing=True,
-    )
-    def run_once(tag):
-        t0 = time.perf_counter()
-        convert(src, os.path.join(d, f"out_{tag}.splat"), "splat", **kw)
-        dt1 = time.perf_counter() - t0
-        t0 = time.perf_counter()
-        convert(src, os.path.join(d, f"out_{tag}.ksplat"), "ksplat", **kw)
-        dt2 = time.perf_counter() - t0
-        print(f"{tag}: splat {dt1:.1f}s ksplat {dt2:.1f}s", file=sys.stderr, flush=True)
-        return dt1, dt2
-    run_once("warm")  # compile
-    d1, d2 = run_once("timed")
-    rate = 2 * n / (d1 + d2) / 1e6
-    print(json.dumps({"rate": rate, "secs": d1 + d2}))
-    raise SystemExit(0)
-elif kind == "sog":
-    # BASELINE config 3: SOG K-Means codebook compression
-    import os, tempfile
-    from gsconverter_tpu.converter import convert
-    n, level = int(sys.argv[2]), int(sys.argv[3])
-    d = tempfile.mkdtemp()
-    src = os.path.join(d, "scene.ply")
-    mint_scene(src, n, flyers=0.0)
-    convert(src, os.path.join(d, "warm.sog"), "sog",
-            compression_level=level, force=True)
-    t0 = time.perf_counter()
-    convert(src, os.path.join(d, "timed.sog"), "sog",
-            compression_level=level, force=True)
-    dt = time.perf_counter() - t0
-    print(json.dumps({"rate": n / dt / 1e6, "secs": dt}))
-    raise SystemExit(0)
-elif kind == "batch":
-    # BASELINE config 5 (single-chip slice): multi-scene N-to-N matrix
-    import os, tempfile
-    from gsconverter_tpu.batch import convert_batch
-    n_scenes, n = int(sys.argv[2]), int(sys.argv[3])
-    d = tempfile.mkdtemp()
-    for i in range(n_scenes):
-        mint_scene(os.path.join(d, f"s{i}.ply"), n, seed=i)
-    fmts = ["splat", "spz", "ksplat"]
-    convert_batch(os.path.join(d, "s0.ply"), os.path.join(d, "warm"), fmts,
-                  force=True)  # compile at this bucket
-    t0 = time.perf_counter()
-    done = convert_batch(os.path.join(d, "s*.ply"), os.path.join(d, "out"),
-                         fmts, force=True)
-    dt = time.perf_counter() - t0
-    total = n * len(done)
-    print(json.dumps({"rate": total / dt / 1e6, "secs": dt,
-                      "conversions": len(done)}))
-    raise SystemExit(0)
-elif kind == "render":
-    # BASELINE config 4 scale probe: windowed tile rasterizer fwd+bwd at
-    # 1M splats / 1080p
-    from gsconverter_tpu.render.camera import Camera
-    from gsconverter_tpu.render.rasterizer import render
-    from gsconverter_tpu.cloud import SplatCloud
-    import jax
-    n, H, W = int(sys.argv[2]), int(sys.argv[3]), int(sys.argv[4])
-    rr = np.random.default_rng(0)
-    cloud = SplatCloud(
-        pos=jnp.asarray(rr.normal(0, 1.0, (n, 3)).astype(np.float32)),
-        sh_dc=jnp.asarray(rr.normal(0, 0.5, (n, 3)).astype(np.float32)),
-        sh_rest=jnp.zeros((n, 3, 15), jnp.float32),
-        opacity=jnp.asarray(rr.normal(-1, 1, (n,)).astype(np.float32)),
-        log_scale=jnp.asarray(rr.normal(-5.5, 0.3, (n, 3)).astype(np.float32)),
-        quat=jnp.asarray(np.tile(np.array([1, 0, 0, 0], np.float32), (n, 1))),
-        normal=jnp.zeros((n, 3), jnp.float32),
-        active_sh_degree=0,
-    )
-    cam = Camera.look_at(
-        eye=[0, 0, 5.0], target=[0, 0, 0], fov_deg=60.0, width=W, height=H,
-    )
-    def loss(op):
-        img = render(cloud.replace(opacity=op), cam, binning="windowed")
-        return jnp.sum(img * img)
-    g = jax.jit(jax.grad(loss))
-    fwd = jax.jit(lambda: jnp.sum(render(cloud, cam, binning="windowed")))
-    float(fwd()); float(jnp.sum(g(cloud.opacity)))  # compile
-    t0 = time.perf_counter(); float(fwd()); dt_f = time.perf_counter() - t0
-    t0 = time.perf_counter(); float(jnp.sum(g(cloud.opacity))); dt_b = time.perf_counter() - t0
-    print(json.dumps({"rate": n / (dt_f + dt_b) / 1e6, "secs": dt_f + dt_b,
-                      "fwd_ms": dt_f * 1e3, "bwd_ms": dt_b * 1e3}))
-    raise SystemExit(0)
-else:
-    raise SystemExit(f"unknown kind {kind}")
+    for _ in range(iters):
+        f()
+    dt = (time.perf_counter() - t0) / iters
+    return {"rate": per_call / dt / 1e6, "secs": dt}
 
-f()  # compile + warm
-t0 = time.perf_counter()
-iters = 3
-for _ in range(iters):
-    f()
-dt = (time.perf_counter() - t0) / iters
-print(json.dumps({"rate": per_call / dt / 1e6, "secs": dt}))
+def run(kind, argv):
+    r = np.random.default_rng(0)
+    if kind == "sor":
+        from gsconverter_tpu.ops.sor import sor_mask
+        n = int(argv[0])
+        tiny = jnp.asarray(r.normal(0, 3.0, (4096, 3)).astype(np.float32))
+        sync(sor_mask(tiny, k=25, sigma=10.5))  # cheap program-family probe
+        pos = jnp.asarray(r.normal(0, 3.0, (n, 3)).astype(np.float32))
+        sync(pos)  # materialize input on device before timing
+        return bench_loop(lambda: sync(sor_mask(pos, k=25, sigma=10.5)), n)
+    if kind == "kmeans":
+        from gsconverter_tpu.ops import kmeans as km
+        n, d, k = int(argv[0]), int(argv[1]), int(argv[2])
+        tiny = jnp.asarray(r.normal(0, 1.0, (4096, d)).astype(np.float32))
+        sync(km.kmeans(tiny, 64, max_iter=2)[1])
+        x = jnp.asarray(r.normal(0, 1.0, (n, d)).astype(np.float32))
+        sync(x)
+        return bench_loop(
+            lambda: sync(km.kmeans(x, k, max_iter=10)[1]), n * 10)
+    if kind == "e2e":
+        # BASELINE config 2: read -> bbox + min_opacity + SOR + density ->
+        # write (ply -> splat and ply -> ksplat), full-pipeline Msplats/s
+        import os, tempfile
+        from gsconverter_tpu.converter import convert
+        n = int(argv[0])
+        d = tempfile.mkdtemp()
+        src = os.path.join(d, "scene.ply")
+        t0 = time.perf_counter()
+        mint_scene(src, n)
+        print(f"mint: {time.perf_counter()-t0:.1f}s", file=sys.stderr, flush=True)
+        kw = dict(
+            bbox=(-60, -60, -60, 60, 60, 60), min_opacity=5,
+            sor_intensity=4, density_sensitivity=0.5, force=True,
+        )
+        def run_once(tag):
+            t0 = time.perf_counter()
+            convert(src, os.path.join(d, f"out_{tag}.splat"), "splat", **kw)
+            dt1 = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            convert(src, os.path.join(d, f"out_{tag}.ksplat"), "ksplat", **kw)
+            dt2 = time.perf_counter() - t0
+            print(f"{tag}: splat {dt1:.1f}s ksplat {dt2:.1f}s",
+                  file=sys.stderr, flush=True)
+            return dt1, dt2
+        run_once("warm")  # compile
+        d1, d2 = run_once("timed")
+        return {"rate": 2 * n / (d1 + d2) / 1e6, "secs": d1 + d2}
+    if kind == "sog":
+        # BASELINE config 3: SOG K-Means codebook compression
+        import os, tempfile
+        from gsconverter_tpu.converter import convert
+        n, level = int(argv[0]), int(argv[1])
+        d = tempfile.mkdtemp()
+        src = os.path.join(d, "scene.ply")
+        mint_scene(src, n, flyers=0.0)
+        convert(src, os.path.join(d, "warm.sog"), "sog",
+                compression_level=level, force=True)
+        t0 = time.perf_counter()
+        convert(src, os.path.join(d, "timed.sog"), "sog",
+                compression_level=level, force=True)
+        dt = time.perf_counter() - t0
+        return {"rate": n / dt / 1e6, "secs": dt}
+    if kind == "batch":
+        # BASELINE config 5 (single-chip slice): multi-scene N-to-N matrix
+        import os, tempfile
+        from gsconverter_tpu.batch import convert_batch
+        n_scenes, n = int(argv[0]), int(argv[1])
+        d = tempfile.mkdtemp()
+        for i in range(n_scenes):
+            mint_scene(os.path.join(d, f"s{i}.ply"), n, seed=i)
+        fmts = ["splat", "spz", "ksplat"]
+        convert_batch(os.path.join(d, "s0.ply"), os.path.join(d, "warm"),
+                      fmts, force=True)  # compile at this bucket
+        t0 = time.perf_counter()
+        done = convert_batch(os.path.join(d, "s*.ply"), os.path.join(d, "out"),
+                             fmts, force=True)
+        dt = time.perf_counter() - t0
+        return {"rate": n * len(done) / dt / 1e6, "secs": dt,
+                "conversions": len(done)}
+    if kind == "render":
+        # BASELINE config 4 scale probe: windowed tile rasterizer fwd+bwd
+        from gsconverter_tpu.render.camera import Camera
+        from gsconverter_tpu.render.rasterizer import render
+        from gsconverter_tpu.cloud import SplatCloud
+        n, H, W = int(argv[0]), int(argv[1]), int(argv[2])
+        rr = np.random.default_rng(0)
+        cloud = SplatCloud(
+            pos=jnp.asarray(rr.normal(0, 1.0, (n, 3)).astype(np.float32)),
+            sh_dc=jnp.asarray(rr.normal(0, 0.5, (n, 3)).astype(np.float32)),
+            sh_rest=jnp.zeros((n, 3, 15), jnp.float32),
+            opacity=jnp.asarray(rr.normal(-1, 1, (n,)).astype(np.float32)),
+            log_scale=jnp.asarray(
+                rr.normal(-5.5, 0.3, (n, 3)).astype(np.float32)),
+            quat=jnp.asarray(
+                np.tile(np.array([1, 0, 0, 0], np.float32), (n, 1))),
+            normal=jnp.zeros((n, 3), jnp.float32),
+            active_sh_degree=0,
+        )
+        cam = Camera.look_at(eye=[0, 0, 5.0], target=[0, 0, 0],
+                             fov_deg=60.0, width=W, height=H)
+        def loss(op):
+            img = render(cloud.replace(opacity=op), cam, binning="windowed")
+            return jnp.sum(img * img)
+        g = jax.jit(jax.grad(loss))
+        fwd = jax.jit(lambda: jnp.sum(render(cloud, cam, binning="windowed")))
+        float(fwd()); float(jnp.sum(g(cloud.opacity)))  # compile
+        t0 = time.perf_counter(); float(fwd())
+        dt_f = time.perf_counter() - t0
+        t0 = time.perf_counter(); float(jnp.sum(g(cloud.opacity)))
+        dt_b = time.perf_counter() - t0
+        return {"rate": n / (dt_f + dt_b) / 1e6, "secs": dt_f + dt_b,
+                "fwd_ms": dt_f * 1e3, "bwd_ms": dt_b * 1e3}
+    raise ValueError(f"unknown kind {kind}")
+
+for line in sys.stdin:
+    line = line.strip()
+    if not line:
+        continue
+    spec = json.loads(line)
+    try:
+        result = run(spec["kind"], spec["argv"])
+        print("RESULT " + json.dumps(result), flush=True)
+    except Exception as e:
+        print("RESULT " + json.dumps(
+            {"error": f"{type(e).__name__}: {e}"[:300]}), flush=True)
 """
 
 
-def run_tpu_workload(args: list[str], timeout: int = 600) -> dict | None:
-    """Run one workload in a subprocess; returns its result dict or None."""
-    try:
-        out = subprocess.run(
-            [sys.executable, "-c", _CHILD, *args],
-            capture_output=True, text=True, timeout=timeout,
+class Worker:
+    """Persistent TPU workload runner with per-request deadlines.
+
+    One process serves all workloads (paying the tunnel's first-dispatch
+    stall once); a timeout or crash kills it and the next request gets a
+    fresh process.
+    """
+
+    def __init__(self):
+        self.proc = None
+        self.q: queue.Queue = queue.Queue()
+
+    def _spawn(self):
+        self.proc = subprocess.Popen(
+            [sys.executable, "-u", "-c", _WORKER],
+            stdin=subprocess.PIPE, stdout=subprocess.PIPE,
+            stderr=subprocess.PIPE, text=True,
             cwd=os.path.dirname(os.path.abspath(__file__)),
         )
-        for line in out.stdout.strip().splitlines()[::-1]:
-            if line.startswith("{"):
-                r = json.loads(line)
-                log(f"{args}: {r['rate']:.2f} Msplats/s ({r['secs']:.2f} s/call)")
+        self.q = queue.Queue()
+
+        def pump(stream, tag):
+            for line in stream:
+                self.q.put((tag, line.rstrip("\n")))
+            self.q.put((tag, None))
+
+        for stream, tag in ((self.proc.stdout, "out"), (self.proc.stderr, "err")):
+            threading.Thread(target=pump, args=(stream, tag), daemon=True).start()
+
+    def kill(self):
+        if self.proc and self.proc.poll() is None:
+            self.proc.kill()
+            try:
+                self.proc.wait(timeout=10)
+            except Exception:
+                pass
+        self.proc = None
+
+    def run(self, kind: str, argv: list, timeout: float) -> dict | None:
+        if self.proc is None or self.proc.poll() is not None:
+            self.kill()
+            self._spawn()
+        try:
+            self.proc.stdin.write(json.dumps({"kind": kind, "argv": argv}) + "\n")
+            self.proc.stdin.flush()
+        except Exception as e:
+            log(f"[{kind}] worker write failed: {e}")
+            self.kill()
+            return None
+        deadline = time.monotonic() + timeout
+        while True:
+            try:
+                tag, line = self.q.get(timeout=max(0.1, deadline - time.monotonic()))
+            except queue.Empty:
+                log(f"[{kind}] timeout after {timeout:.0f}s; restarting worker")
+                self.kill()
+                return None
+            if line is None:
+                log(f"[{kind}] worker died (rc={self.proc.poll()})")
+                self.kill()
+                return None
+            if tag == "err":
+                log(f"  | {line[:300]}")
+                continue
+            if line.startswith("RESULT "):
+                r = json.loads(line[len("RESULT "):])
+                if "error" in r:
+                    log(f"[{kind}] failed: {r['error']}")
+                    return None
+                log(f"[{kind} {argv}] {r['rate']:.2f} Msplats/s ({r['secs']:.2f} s/call)")
                 return r
-        log(f"{args}: no result; stderr tail: {out.stderr.strip()[-400:]}")
-    except subprocess.TimeoutExpired:
-        log(f"{args}: timeout after {timeout}s")
-    except Exception as e:
-        log(f"{args}: {e}")
-    return None
 
 
 def rate_of(r: dict | None) -> float | None:
@@ -288,8 +349,10 @@ def remaining() -> float:
 
 
 def main():
-    sor_rate = rate_of(run_tpu_workload(["sor", str(N_SOR)]))
-    km_rate = rate_of(run_tpu_workload(["kmeans", str(N_KM), str(D_KM), str(K_KM)]))
+    w = Worker()
+    sor = w.run("sor", [N_SOR], timeout=900)
+    km = w.run("kmeans", [N_KM, D_KM, K_KM], timeout=600)
+    sor_rate, km_rate = rate_of(sor), rate_of(km)
 
     vs = None
     combined = 0.0
@@ -312,36 +375,35 @@ def main():
     extra = {"sor_msplats": sor_rate, "kmeans_msplat_iters": km_rate}
     emit(combined, vs, extra)
 
-    # Budgeted extras (BASELINE configs 2, 3, 4, 5); each in its own
-    # subprocess, failures/skips degrade to null rather than losing the
-    # headline.
+    # Budgeted extras (BASELINE configs 2, 3, 4, 5); a timeout or fault
+    # restarts the worker and only loses that workload.
     e2e_1m = None
-    if remaining() > 300:
-        e2e_1m = run_tpu_workload(["e2e", "1000000"], timeout=min(600, remaining()))
+    if remaining() > 120:
+        e2e_1m = w.run("e2e", [1_000_000], timeout=min(480, remaining()))
     extra["e2e_1m_filters_msplats"] = rate_of(e2e_1m)
 
-    # 10M only if the 1M rate predicts it fits in the leftover budget
-    # (10M work ~ 10x the timed 1M secs, plus minting/compile margin).
+    # 10M only if the 1M rate predicts the timed part fits comfortably.
     extra["e2e_10m_filters_msplats"] = None
-    if e2e_1m and remaining() > 60 + 14 * e2e_1m["secs"]:
+    if e2e_1m and remaining() > 120 + 22 * e2e_1m["secs"]:
         extra["e2e_10m_filters_msplats"] = rate_of(
-            run_tpu_workload(["e2e", "10000000"], timeout=remaining())
+            w.run("e2e", [10_000_000], timeout=remaining())
         )
     else:
         log(f"skipping 10M e2e (budget {remaining():.0f}s)")
 
-    for key, args, need in (
-        ("sog_3m_l1_msplats", ["sog", "3000000", "1"], 240),
-        ("sog_3m_l10_msplats", ["sog", "3000000", "10"], 240),
-        ("batch_4x200k_x3fmt_msplats", ["batch", "4", "200000"], 180),
-        ("render_1m_1080p_msplats", ["render", "1000000", "1088", "1920"], 120),
+    for key, kind, argv, need in (
+        ("sog_3m_l1_msplats", "sog", [3_000_000, 1], 150),
+        ("sog_3m_l10_msplats", "sog", [3_000_000, 10], 150),
+        ("batch_4x200k_x3fmt_msplats", "batch", [4, 200_000], 120),
+        ("render_1m_1080p_msplats", "render", [1_000_000, 1088, 1920], 90),
     ):
         extra[key] = None
         if remaining() > need:
-            extra[key] = rate_of(run_tpu_workload(args, timeout=remaining()))
+            extra[key] = rate_of(w.run(kind, argv, timeout=remaining()))
         else:
             log(f"skipping {key} (budget {remaining():.0f}s)")
 
+    w.kill()
     # Final superseding line with extras filled in.
     emit(combined, vs, extra)
 

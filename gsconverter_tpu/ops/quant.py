@@ -335,16 +335,18 @@ def morton3_u32(ix, iy, iz):
     """Interleave 10-bit coords into a 30-bit Morton code
     (reference compressed_ply.py:255-263), vectorized.
 
-    uint32 in, uint32 out in both numpy and jnp residencies."""
-    xp = _xp(ix)
-    u = jnp.uint32
+    uint32 in, uint32 out in both numpy and jnp residencies.  NOTE: shift
+    amounts are python ints and masks numpy scalars — ``jnp.uint32(x)``
+    scalars would silently promote the numpy path onto the device.
+    """
+    u = np.uint32
 
     def part(n):
         n = n.astype(u) & u(0x000003FF)
-        n = (n ^ (n << u(16))) & u(0xFF0000FF)
-        n = (n ^ (n << u(8))) & u(0x0300F00F)
-        n = (n ^ (n << u(4))) & u(0x030C30C3)
-        n = (n ^ (n << u(2))) & u(0x09249249)
+        n = (n ^ (n << 16)) & u(0xFF0000FF)
+        n = (n ^ (n << 8)) & u(0x0300F00F)
+        n = (n ^ (n << 4)) & u(0x030C30C3)
+        n = (n ^ (n << 2)) & u(0x09249249)
         return n
 
-    return ((part(iz) << u(2)) | (part(iy) << u(1)) | part(ix)).astype(u)
+    return ((part(iz) << 2) | (part(iy) << 1) | part(ix)).astype(u)

@@ -37,7 +37,7 @@ ALPHA_MAX = 0.99
 @functools.partial(
     jax.jit,
     static_argnames=("max_per_tile", "tile_chunk", "sh_degree", "binning",
-                     "max_global"),
+                     "max_global", "remat"),
 )
 def render(
     cloud: SplatCloud,
@@ -48,6 +48,7 @@ def render(
     sh_degree: int | None = None,
     binning: str = "windowed",
     max_global: int = 32,
+    remat: bool = True,
 ) -> jax.Array:
     """Render [H,W,3] linear-RGB image. Differentiable w.r.t. all splat params.
 
@@ -209,7 +210,12 @@ def render(
     chunks = n_tiles // tile_chunk if n_tiles % tile_chunk == 0 else -(-n_tiles // tile_chunk)
     pad_tiles = chunks * tile_chunk - n_tiles
     tile_ids = jnp.concatenate([jnp.arange(n_tiles), jnp.zeros(pad_tiles, jnp.int32)])
-    tiles = jax.lax.map(bin_and_render, tile_ids.reshape(chunks, tile_chunk))
+    # remat the per-chunk body: free in forward-only evaluation, and the
+    # backward re-renders each tile chunk instead of saving its [C,M,P]
+    # weight tensors — without it the 1M-splat 1080p gradient program is
+    # large enough to crash the TPU compiler
+    body = jax.checkpoint(bin_and_render) if remat else bin_and_render
+    tiles = jax.lax.map(body, tile_ids.reshape(chunks, tile_chunk))
     tiles = tiles.reshape(-1, TILE, TILE, 3)[:n_tiles]  # [T, 16,16,3]
     img = tiles.reshape(th, tw, TILE, TILE, 3).transpose(0, 2, 1, 3, 4).reshape(h, w, 3)
     return img
