@@ -38,16 +38,36 @@ def convert_batch(
             raise ValueError(f"Unknown target format '{fmt}'")
     os.makedirs(out_dir, exist_ok=True)
 
-    jobs = [
-        (src, fmt) for src in inputs for fmt in target_formats
-    ]
+    # One read + filter chain per scene, N format writes: order formats so
+    # the one with the LOOSEST SH cap runs the full pipeline (its processed
+    # cloud carries the most SH content), then the remaining formats reuse
+    # it via write_processed — each applies its own tighter cap at write
+    # time, which commutes with the filters (they only read pos/opacity),
+    # so every output is byte-identical to a standalone run.
+    from .converter import FORMAT_MAX_SH
+
+    fmts = sorted(target_formats, key=lambda f: -FORMAT_MAX_SH.get(f, 3))
+    n_jobs = len(inputs) * len(fmts)
     done = []
-    for i, (src, fmt) in enumerate(jobs):
-        if i % process_count != process_index:
+    for si, src in enumerate(inputs):
+        # round-robin over SCENES (the unit of shared work)
+        if si % process_count != process_index:
             continue
         base = os.path.splitext(os.path.basename(src))[0]
-        out = os.path.join(out_dir, f"{base}_{fmt}{EXT_MAP[fmt]}")
-        status_print(f"[batch {i + 1}/{len(jobs)}] {src} -> {out}")
-        Converter(src, out, fmt).run(**kwargs)
-        done.append((src, fmt, out))
+        shared_cloud = None
+        shared_handler = None
+        for fi, fmt in enumerate(fmts):
+            out = os.path.join(out_dir, f"{base}_{fmt}{EXT_MAP[fmt]}")
+            status_print(
+                f"[batch {si * len(fmts) + fi + 1}/{n_jobs}] {src} -> {out}"
+            )
+            conv = Converter(src, out, fmt)
+            if shared_cloud is None:
+                conv.run(**kwargs)
+                shared_cloud = conv.processed_cloud
+                shared_handler = conv.source_handler
+            else:
+                conv.write_processed(shared_cloud,
+                                     source_handler=shared_handler, **kwargs)
+            done.append((src, fmt, out))
     return done

@@ -78,6 +78,7 @@ class Converter:
                 f"Supported: {', '.join(VALID_FORMATS)}"
             )
         self.cloud: SplatCloud | None = None
+        self.processed_cloud: SplatCloud | None = None  # pre-RGB, post-filter
         self.source_format: str | None = None
         self.source_handler: BaseFormat | None = None
         self.timer = StageTimer()
@@ -278,47 +279,84 @@ class Converter:
                         gathered = full_cloud.select(idx)
                 cloud = gathered
 
-            # 5. RGB synthesis
-            if (self.target_format in FORMATS_NEEDING_RGB and not cloud.has_rgb) or opts.rgb:
-                if not cloud.has_rgb:
-                    status_print(
-                        f"Target format '{self.target_format}' requires RGB. "
-                        "Auto-calculating from SH..."
-                    )
-                    cloud = sh.add_rgb(cloud)
-            pbar.update(5)
-            self.cloud = cloud
+            # pre-RGB filtered cloud: the batch fast path reuses this
+            # across target formats (write_processed)
+            self.processed_cloud = cloud
 
-            # 6. write (with extras policy)
-            pbar.set_description(f"Writing {self.target_format.upper()}")
-            write_kwargs = dict(kwargs)
-            extras = getattr(self.source_handler, "extra_elements", ())
-            if opts.maintain_extra_elements:
-                if extras:
-                    write_kwargs["extra_elements"] = extras
-                    handler_cls = get_handler(self.target_format)
-                    if not handler_cls.supports_extra_elements:
-                        status_print(
-                            f"Warning: Target format '{self.target_format}' does not support "
-                            "preserving extra elements. These will be ignored."
-                        )
-                else:
-                    status_print("Warning: --extra_elements passed but no extra elements found in source.")
-            elif extras:
-                status_print(
-                    f"Stripping {len(extras)} extra PLY elements "
-                    "(use --extra_elements to preserve)."
-                )
-
-            target_handler = get_handler(self.target_format)
-            with self.timer.stage("write", cloud.n):
-                target_handler.write(cloud, self.output_path, **write_kwargs)
-            pbar.update(40)
-            pbar.refresh()
-            pbar.set_description("Completed")
+            # 5 + 6. RGB synthesis + write (with extras policy)
+            cloud = self._finalize_write(cloud, opts, kwargs, pbar)
 
         status_print(f"Conversion completed: Saved to {self.output_path}")
         return cloud
+
+    def _finalize_write(self, cloud: SplatCloud, opts: ConvertOptions,
+                        kwargs: dict, pbar=None) -> SplatCloud:
+        """RGB policy + extras policy + target write (run() steps 5-6)."""
+        if (self.target_format in FORMATS_NEEDING_RGB and not cloud.has_rgb) or opts.rgb:
+            if not cloud.has_rgb:
+                status_print(
+                    f"Target format '{self.target_format}' requires RGB. "
+                    "Auto-calculating from SH..."
+                )
+                cloud = sh.add_rgb(cloud)
+        if pbar:
+            pbar.update(5)
+        self.cloud = cloud
+
+        if pbar:
+            pbar.set_description(f"Writing {self.target_format.upper()}")
+        write_kwargs = dict(kwargs)
+        extras = getattr(self.source_handler, "extra_elements", ()) if self.source_handler else ()
+        if opts.maintain_extra_elements:
+            if extras:
+                write_kwargs["extra_elements"] = extras
+                handler_cls = get_handler(self.target_format)
+                if not handler_cls.supports_extra_elements:
+                    status_print(
+                        f"Warning: Target format '{self.target_format}' does not support "
+                        "preserving extra elements. These will be ignored."
+                    )
+            else:
+                status_print("Warning: --extra_elements passed but no extra elements found in source.")
+        elif extras:
+            status_print(
+                f"Stripping {len(extras)} extra PLY elements "
+                "(use --extra_elements to preserve)."
+            )
+
+        target_handler = get_handler(self.target_format)
+        with self.timer.stage("write", cloud.n):
+            target_handler.write(cloud, self.output_path, **write_kwargs)
+        if pbar:
+            pbar.update(40)
+            pbar.refresh()
+            pbar.set_description("Completed")
+        return cloud
+
+    def write_processed(self, cloud: SplatCloud, source_handler=None,
+                        **kwargs: Any) -> SplatCloud:
+        """Write an ALREADY-FILTERED canonical cloud to this converter's
+        target format — the batch fast path: one read + filter chain per
+        scene, N format writes (batch.convert_batch).
+
+        Applies this format's own SH cap (min(content, requested, format
+        limit), reference converter.py:152-188) and RGB/extras policies, so
+        the output is identical to a full ``run()`` on the same source.
+        """
+        opts = _opts_from_kwargs(kwargs)
+        if source_handler is not None:
+            self.source_handler = source_handler
+        source_deg = sh.detect_active_degree(cloud)
+        final_deg = min(
+            source_deg,
+            FORMAT_MAX_SH.get(self.target_format, 3),
+            3 if opts.sh_level is None else int(opts.sh_level),
+        )
+        if final_deg < source_deg:
+            cloud = sh.cap_degree(cloud, final_deg)
+        out = self._finalize_write(cloud, opts, kwargs)
+        status_print(f"Conversion completed: Saved to {self.output_path}")
+        return out
 
 
 def _opts_from_kwargs(kwargs: dict) -> ConvertOptions:

@@ -9,7 +9,6 @@ strict column order (parquet.py:79-91).
 
 from __future__ import annotations
 
-import jax.numpy as jnp
 import numpy as np
 
 from ..cloud import SplatCloud, degree_for_coeffs

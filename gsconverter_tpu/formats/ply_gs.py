@@ -9,17 +9,18 @@ Behavior parity targets:
     unprefixed, ply_cc.py:86-91) and forces RGB.
 
 Design delta (TPU-first): the structured-array container is parsed once on
-host; all field math is a jnp staging step into the SoA cloud.  SH columns of
-lower-degree files are re-strided into canonical [3,15] channel-major layout
-(see SplatCloud.sh_rest_from_flat for the documented divergence).
+host into a host-resident SoA cloud (numpy leaves; utils/transfer.py
+residency policy) via grouped strided views — one pass per consecutive
+field run instead of one per column.  SH columns of lower-degree files are
+re-strided into canonical [3,15] channel-major layout (see
+SplatCloud.sh_rest_from_flat for the documented divergence).
 """
 
 from __future__ import annotations
 
 import numpy as np
-import jax.numpy as jnp
 
-from ..cloud import COEFFS_FOR_DEGREE, MAX_SH_DIM, SplatCloud, degree_for_coeffs
+from ..cloud import MAX_SH_DIM, SplatCloud, degree_for_coeffs
 from ..utils import ply
 from ..utils.log import debug_print, status_print
 from .base import BaseFormat, register

@@ -4,14 +4,16 @@
 as val*128+128 (reference formats/splat.py).  Writer sorts splats descending
 by exp(sum(log_scale)) * sigmoid(opacity) (reference splat.py:92-98).
 
-TPU-first: the whole encode (sort metric, sort, quantize, interleave-ready
-planes) is one jit region; only the byte interleave + file write run on host.
+Residency-aware (utils/transfer.py): host-resident clouds encode/decode in
+numpy (the packed record IS the file; a device round trip would pull it
+over the slow link); device-resident clouds use the jit encode core with
+chunked readback.  The quantization math is shared via ops/quant's
+residency-generic helpers.
 """
 
 from __future__ import annotations
 
 import os
-from functools import partial
 
 import jax
 import jax.numpy as jnp
@@ -39,15 +41,6 @@ def _encode(pos, log_scale, quat, opacity, sh_dc):
     a = jnp.clip(jax.nn.sigmoid(opacity[order]) * 255.0, 0, 255).astype(jnp.uint8)
     color = jnp.concatenate([rgb, a[:, None]], axis=1)
     return pos.astype(jnp.float32), scales.astype(jnp.float32), color, rot_u8
-
-
-@jax.jit
-def _decode(pos, scales, color, rot_u8):
-    log_scale = jnp.log(jnp.maximum(scales, 1e-6))
-    quat = quant.u8_to_quat(rot_u8)
-    sh_dc = sh.dc_from_rgb_u8(color[:, :3])
-    opacity = quant.u8_to_logit_splat(color[:, 3])
-    return log_scale, quat, sh_dc, opacity
 
 
 @register

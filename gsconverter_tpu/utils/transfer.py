@@ -30,7 +30,7 @@ import numpy as np
 
 # Chunk size for device->host readbacks: large enough to amortize the
 # ~25 ms per-transfer RPC latency, small enough to overlap several streams.
-_CHUNK_BYTES = 8 << 20
+_CHUNK_BYTES = 4 << 20
 _MAX_STREAMS = 16
 
 
@@ -56,7 +56,7 @@ def to_host(arr) -> np.ndarray:
     arr = jax.block_until_ready(arr)
     nbytes = arr.size * arr.dtype.itemsize
     n = arr.shape[0] if arr.ndim else 0
-    if nbytes <= 2 * _CHUNK_BYTES or n < 2:
+    if nbytes <= _CHUNK_BYTES or n < 2:
         return np.asarray(arr)
     row_bytes = max(1, nbytes // n)
     rows_per_chunk = max(1, _CHUNK_BYTES // row_bytes)

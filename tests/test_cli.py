@@ -126,15 +126,39 @@ def test_convert_batch_matrix(tmp_path):
 
 
 def test_convert_batch_round_robin(tmp_path):
+    """Scenes (the unit of shared read+filter work) round-robin over
+    processes; each process writes ALL formats for its scenes."""
     from gsconverter_tpu.batch import convert_batch
 
-    c = make_cloud(100)
-    get_handler("3dgs").write(c, str(tmp_path / "s.ply"))
-    a = convert_batch(str(tmp_path / "s.ply"), str(tmp_path / "o"), ["splat", "spz"],
+    for i in range(2):
+        get_handler("3dgs").write(make_cloud(100, seed=i),
+                                  str(tmp_path / f"s{i}.ply"))
+    a = convert_batch(str(tmp_path / "s*.ply"), str(tmp_path / "o"), ["splat", "spz"],
                       process_index=0, process_count=2, force=True)
-    b = convert_batch(str(tmp_path / "s.ply"), str(tmp_path / "o"), ["splat", "spz"],
+    b = convert_batch(str(tmp_path / "s*.ply"), str(tmp_path / "o"), ["splat", "spz"],
                       process_index=1, process_count=2, force=True)
-    assert len(a) == 1 and len(b) == 1 and a[0][1] != b[0][1]
+    assert len(a) == 2 and len(b) == 2
+    assert {x[0] for x in a} != {x[0] for x in b}  # disjoint scenes
+
+
+def test_convert_batch_matches_standalone(tmp_path):
+    """The batch fast path (one read+filter, N writes via write_processed)
+    must be byte-identical to standalone convert() per format — including
+    formats with tighter SH caps than the first one written."""
+    from gsconverter_tpu.batch import convert_batch
+    from gsconverter_tpu.converter import convert
+
+    get_handler("3dgs").write(make_cloud(400, sh_degree=2, seed=9),
+                              str(tmp_path / "s0.ply"))
+    fmts = ["splat", "spz", "ksplat"]  # caps 0 / 3 / 2
+    kw = dict(min_opacity=20, sor_intensity=4.0, force=True)
+    convert_batch(str(tmp_path / "s0.ply"), str(tmp_path / "b"), fmts, **kw)
+    for fmt in fmts:
+        solo = str(tmp_path / f"solo_{fmt}{get_handler(fmt).extension}")
+        convert(str(tmp_path / "s0.ply"), solo, fmt, **kw)
+        batched = str(tmp_path / "b" /
+                      f"s0_{fmt}{get_handler(fmt).extension}")
+        assert open(solo, "rb").read() == open(batched, "rb").read(), fmt
 
 
 def test_convert_batch_matrix(tmp_path):
