@@ -167,6 +167,33 @@ def run(kind, argv):
             dts.append(time.perf_counter() - t0)
         dt = min(dts)
         return {"rate": n / dt / 1e6, "secs": dt}
+    if kind == "e2e_ref":
+        # The reference implementation's OWN full pipeline on the same
+        # scene/filters (CPU fallbacks; plyfile via the test shim) — the
+        # end-to-end baseline the e2e numbers are measured against.
+        import os, tempfile, importlib.util
+        spec = importlib.util.spec_from_file_location(
+            "plyfile_shim", os.path.join("tests", "plyfile_shim.py"))
+        shim = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(shim)
+        shim.install()
+        sys.path.insert(0, "/root/reference")
+        from gsconverter.converter import Converter as RefConverter
+        n = int(argv[0])
+        d = tempfile.mkdtemp()
+        src = os.path.join(d, "scene.ply")
+        mint_scene(src, n)
+        kw = dict(
+            bbox=(-60, -60, -60, 60, 60, 60), min_opacity=5,
+            sor_intensity=4, density_sensitivity=0.5,
+        )
+        t0 = time.perf_counter()
+        RefConverter(src, os.path.join(d, "ref.splat"), "splat").run(**kw)
+        d1 = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        RefConverter(src, os.path.join(d, "ref.ksplat"), "ksplat").run(**kw)
+        d2 = time.perf_counter() - t0
+        return {"rate": 2 * n / (d1 + d2) / 1e6, "secs": d1 + d2}
     if kind == "batch":
         # BASELINE config 5 (single-chip slice): multi-scene N-to-N matrix
         import os, tempfile
@@ -396,6 +423,7 @@ def main():
         log(f"skipping 10M e2e (budget {remaining():.0f}s)")
 
     for key, kind, argv, need in (
+        ("e2e_1m_reference_cpu_msplats", "e2e_ref", [1_000_000], 180),
         ("sog_3m_l1_msplats", "sog", [3_000_000, 1], 150),
         ("sog_3m_l10_msplats", "sog", [3_000_000, 10], 150),
         ("batch_4x200k_x3fmt_msplats", "batch", [4, 200_000], 120),

@@ -129,3 +129,22 @@ def test_readers_return_host_clouds(tmp_path):
         back = get_handler(fmt).read(path)
         assert back.is_host, fmt
         assert isinstance(back.pos, np.ndarray), fmt
+
+
+def test_to_host_chunked_roundtrip():
+    """transfer.to_host must return identical bytes through the chunked
+    concurrent path (arrays above the chunk threshold) and the direct path."""
+    import jax.numpy as jnp
+
+    from gsconverter_tpu.utils import transfer
+
+    r = np.random.default_rng(0)
+    big = r.normal(size=(3_000_000, 3)).astype(np.float32)  # 36MB > chunk
+    small = r.normal(size=(100, 3)).astype(np.float32)
+    for arr in (big, small):
+        out = transfer.to_host(jnp.asarray(arr))
+        assert isinstance(out, np.ndarray)
+        np.testing.assert_array_equal(out, arr)
+    # numpy passthrough
+    assert transfer.to_host(big) is not None
+    assert transfer.is_host(big) and not transfer.is_host(jnp.asarray(small))
