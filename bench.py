@@ -93,13 +93,17 @@ def mint_scene(path, n, seed=0, flyers=0.002):
     get_handler("3dgs").write(c, path)
     return n
 
-def bench_loop(f, per_call, iters=3):
+def bench_loop(f, per_call, iters=5):
     f()  # compile + warm
-    t0 = time.perf_counter()
+    # MIN over iterations: the tunnel between this host and the chip adds
+    # multi-hundred-ms jitter spikes to individual dispatches; the fastest
+    # repetition reflects the device's actual steady-state throughput
+    best = float("inf")
     for _ in range(iters):
+        t0 = time.perf_counter()
         f()
-    dt = (time.perf_counter() - t0) / iters
-    return {"rate": per_call / dt / 1e6, "secs": dt}
+        best = min(best, time.perf_counter() - t0)
+    return {"rate": per_call / best / 1e6, "secs": best}
 
 def run(kind, argv):
     r = np.random.default_rng(0)
