@@ -198,7 +198,6 @@ class KSplatFormat(BaseFormat):
 
     # ----------------------------------------------------------------- write
     def write(self, cloud: SplatCloud, path: str, **kwargs) -> None:
-        from ..cloud import COEFFS_FOR_DEGREE
         from ..ops.sh import detect_active_degree
 
         comp = int(kwargs.get("compression_level", 0) or 0)

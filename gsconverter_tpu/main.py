@@ -14,7 +14,7 @@ import os
 import sys
 
 from . import __version__, config
-from .converter import Converter, VALID_FORMATS, EXT_MAP, detect_format
+from .converter import Converter, VALID_FORMATS, EXT_MAP
 from .utils import ply as ply_io
 from .utils.log import status_print
 

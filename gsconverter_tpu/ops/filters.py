@@ -8,8 +8,6 @@ boundaries.  Exact parameter semantics preserved (SURVEY.md §2.2).
 
 from __future__ import annotations
 
-import math
-
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -27,7 +27,6 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from jax import shard_map
 
 from ..ops import kmeans as km
-from ..ops import sor as sor_ops
 
 
 # ------------------------------------------------------------- sharded SOR
@@ -278,7 +277,6 @@ def sharded_render(cloud, cam, mesh: Mesh, axis: str = "data", **kw):
     """
     from ..render import rasterizer as rz
     from ..render.project import project_gaussians
-    from ..ops import sh as sh_ops
 
     # global depth sort (sharded sort under jit)
     proj = project_gaussians(cloud.pos, cloud.log_scale, cloud.quat, cam)

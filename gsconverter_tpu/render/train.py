@@ -11,7 +11,6 @@ XLA inserts the gradient all-reduces (SURVEY.md §2.4 "grads all-reduced").
 
 from __future__ import annotations
 
-import dataclasses
 from typing import Any
 
 import jax
