@@ -358,6 +358,10 @@ def _window_md_kernel(xt_ref, *refs, k: int, iters: int, window: int,
         pred = cnt >= kf
         return jnp.where(pred, lo, mid), jnp.where(pred, mid, hi)
 
+    # (A quad-section variant — 3 thresholds per scratch scan — was
+    # measured at parity or worse: the search is bound by threshold
+    # compare+sum compute, not by scan count, and binary is the most
+    # threshold-efficient bracketing.)
     lo, hi = jax.lax.fori_loop(0, iters, body, (lo, hi))
 
     dsel = d_ref[:].astype(jnp.float32)
