@@ -99,3 +99,70 @@ def test_ply_list_property_roundtrip(tmp_path):
     back = ply.read(path)
     assert "face" in back
     np.testing.assert_array_equal(back["face"].list_props["vertex_indices"][2][0], [0, 1, 2])
+
+
+def test_ply_double_precision_columns(tmp_path):
+    """A PLY whose vertex columns are float64 (some exporters do this) must
+    decode through the per-column fallback — the grouped strided fast path
+    only applies to consecutive f4 runs."""
+    import numpy as np
+
+    from gsconverter_tpu.formats import get_handler
+    from gsconverter_tpu.utils import ply
+
+    n = 64
+    r = np.random.default_rng(0)
+    names = (["x", "y", "z", "nx", "ny", "nz"]
+             + [f"f_dc_{i}" for i in range(3)]
+             + [f"f_rest_{i}" for i in range(9)]
+             + ["opacity", "scale_0", "scale_1", "scale_2",
+                "rot_0", "rot_1", "rot_2", "rot_3"])
+    arr = np.zeros(n, dtype=[(nm, "<f8") for nm in names])
+    for nm in names:
+        arr[nm] = r.normal(size=n)
+    path = str(tmp_path / "dbl.ply")
+    ply.write(path, [ply.PlyElement("vertex", arr)])
+
+    cloud = get_handler("3dgs").read(path)
+    assert cloud.n == n and cloud.is_host
+    assert cloud.pos.dtype == np.float32
+    np.testing.assert_allclose(cloud.pos[:, 0], arr["x"].astype(np.float32),
+                               rtol=1e-6)
+    np.testing.assert_allclose(cloud.sh_rest[:, 0, 0],
+                               arr["f_rest_0"].astype(np.float32), rtol=1e-6)
+    assert cloud.active_sh_degree == 1  # 9 f_rest columns
+
+
+def test_ply_mixed_width_core_fields(tmp_path):
+    """Vertex records mixing f4 core fields with interleaved non-f4 extras
+    break the consecutive-f4 assumption mid-run; decode must still be
+    correct via fallback."""
+    import numpy as np
+
+    from gsconverter_tpu.formats import get_handler
+    from gsconverter_tpu.utils import ply
+
+    n = 32
+    r = np.random.default_rng(1)
+    dt = [("x", "<f4"), ("y", "<f4"), ("z", "<f4"),
+          ("weird_id", "<u2"),  # interrupts the spatial run
+          ("nx", "<f4"), ("ny", "<f4"), ("nz", "<f4"),
+          ("f_dc_0", "<f4"), ("f_dc_1", "<f4"), ("f_dc_2", "<f4"),
+          ("opacity", "<f4"),
+          ("scale_0", "<f4"), ("scale_1", "<f4"), ("scale_2", "<f4"),
+          ("rot_0", "<f4"), ("rot_1", "<f4"), ("rot_2", "<f4"),
+          ("rot_3", "<f4")]
+    arr = np.zeros(n, dtype=dt)
+    for nm, t in dt:
+        arr[nm] = (r.integers(0, 100, n) if t == "<u2"
+                   else r.normal(size=n).astype(np.float32))
+    path = str(tmp_path / "mixed.ply")
+    ply.write(path, [ply.PlyElement("vertex", arr)])
+
+    cloud = get_handler("3dgs").read(path)
+    assert cloud.n == n
+    np.testing.assert_array_equal(cloud.pos[:, 2], arr["z"])
+    np.testing.assert_array_equal(cloud.normal[:, 0], arr["nx"])
+    # the interloper survives as an extra vertex prop
+    assert "weird_id" in cloud.extras
+    np.testing.assert_array_equal(cloud.extras["weird_id"], arr["weird_id"])
