@@ -166,3 +166,35 @@ def test_ply_mixed_width_core_fields(tmp_path):
     # the interloper survives as an extra vertex prop
     assert "weird_id" in cloud.extras
     np.testing.assert_array_equal(cloud.extras["weird_id"], arr["weird_id"])
+
+
+def test_ply_big_endian_read(tmp_path):
+    """binary_big_endian PLY (rare but legal) byte-swaps on read."""
+    import numpy as np
+
+    from gsconverter_tpu.formats import get_handler
+
+    n = 8
+    r = np.random.default_rng(2)
+    names = (["x", "y", "z", "nx", "ny", "nz"]
+             + [f"f_dc_{i}" for i in range(3)]
+             + ["opacity", "scale_0", "scale_1", "scale_2",
+                "rot_0", "rot_1", "rot_2", "rot_3"])
+    arr = np.zeros(n, dtype=[(nm, ">f4") for nm in names])
+    for nm in names:
+        arr[nm] = r.normal(size=n).astype(np.float32)
+    header = ("ply\nformat binary_big_endian 1.0\n"
+              f"element vertex {n}\n"
+              + "".join(f"property float {nm}\n" for nm in names)
+              + "end_header\n")
+    path = str(tmp_path / "be.ply")
+    with open(path, "wb") as f:
+        f.write(header.encode("ascii"))
+        f.write(arr.tobytes())
+
+    cloud = get_handler("3dgs").read(path)
+    assert cloud.n == n
+    np.testing.assert_allclose(cloud.pos[:, 0],
+                               arr["x"].astype("<f4"), rtol=1e-7)
+    np.testing.assert_allclose(cloud.opacity,
+                               arr["opacity"].astype("<f4"), rtol=1e-7)
