@@ -171,6 +171,24 @@ def run(kind, argv):
             dts.append(time.perf_counter() - t0)
         dt = min(dts)
         return {"rate": n / dt / 1e6, "secs": dt}
+    if kind == "roundtrip":
+        # BASELINE config 1: 100k-splat PLY -> 3dgs PLY roundtrip with
+        # --sor_intensity 8
+        import os, tempfile
+        from gsconverter_tpu.converter import convert
+        n = int(argv[0])
+        d = tempfile.mkdtemp()
+        src = os.path.join(d, "scene.ply")
+        mint_scene(src, n)
+        kw = dict(sor_intensity=8, force=True)
+        convert(src, os.path.join(d, "warm.ply"), "3dgs", **kw)
+        dts = []
+        for tag in ("t1", "t2"):
+            t0 = time.perf_counter()
+            convert(src, os.path.join(d, f"{tag}.ply"), "3dgs", **kw)
+            dts.append(time.perf_counter() - t0)
+        dt = min(dts)
+        return {"rate": n / dt / 1e6, "secs": dt}
     if kind == "e2e_ref":
         # The reference implementation's OWN full pipeline on the same
         # scene/filters (CPU fallbacks; plyfile via the test shim) — the
@@ -427,6 +445,7 @@ def main():
         log(f"skipping 10M e2e (budget {remaining():.0f}s)")
 
     for key, kind, argv, need in (
+        ("roundtrip_100k_sor8_msplats", "roundtrip", [100_000], 60),
         ("e2e_1m_reference_cpu_msplats", "e2e_ref", [1_000_000], 180),
         ("sog_3m_l1_msplats", "sog", [3_000_000, 1], 150),
         ("sog_3m_l10_msplats", "sog", [3_000_000, 10], 150),
