@@ -189,10 +189,10 @@ def run(kind, argv):
             dts.append(time.perf_counter() - t0)
         dt = min(dts)
         return {"rate": n / dt / 1e6, "secs": dt}
-    if kind == "e2e_ref":
-        # The reference implementation's OWN full pipeline on the same
-        # scene/filters (CPU fallbacks; plyfile via the test shim) — the
-        # end-to-end baseline the e2e numbers are measured against.
+    if kind in ("e2e_ref", "roundtrip_ref"):
+        # The reference implementation's OWN pipeline on the same scene
+        # and filters (CPU fallbacks; plyfile via the test shim) — the
+        # baseline our e2e / roundtrip numbers are measured against.
         import os, tempfile, importlib.util
         spec = importlib.util.spec_from_file_location(
             "plyfile_shim", os.path.join("tests", "plyfile_shim.py"))
@@ -205,6 +205,16 @@ def run(kind, argv):
         d = tempfile.mkdtemp()
         src = os.path.join(d, "scene.ply")
         mint_scene(src, n)
+        if kind == "roundtrip_ref":
+            # BASELINE config 1 counterpart: 3dgs -> 3dgs, --sor_intensity 8
+            # (reference converter.py:94-292; its CPU SOR computes but never
+            # applies the mask, data_processor.py:180-182 — strictly LESS
+            # work than our pipeline does on the same config)
+            t0 = time.perf_counter()
+            RefConverter(src, os.path.join(d, "ref.ply"), "3dgs").run(
+                sor_intensity=8)
+            dt = time.perf_counter() - t0
+            return {"rate": n / dt / 1e6, "secs": dt}
         kw = dict(
             bbox=(-60, -60, -60, 60, 60, 60), min_opacity=5,
             sor_intensity=4, density_sensitivity=0.5,
@@ -446,6 +456,7 @@ def main():
 
     for key, kind, argv, need in (
         ("roundtrip_100k_sor8_msplats", "roundtrip", [100_000], 60),
+        ("roundtrip_100k_ref_msplats", "roundtrip_ref", [100_000], 60),
         ("e2e_1m_reference_cpu_msplats", "e2e_ref", [1_000_000], 180),
         ("sog_3m_l1_msplats", "sog", [3_000_000, 1], 150),
         ("sog_3m_l10_msplats", "sog", [3_000_000, 10], 150),

@@ -49,14 +49,23 @@ def convert_batch(
     fmts = sorted(target_formats, key=lambda f: -FORMAT_MAX_SH.get(f, 3))
     n_jobs = len(inputs) * len(fmts)
     done = []
+    # Distribution unit: whole SCENES (the unit of shared read+filter work)
+    # when there are at least as many scenes as processes; otherwise fall
+    # back to per-(scene, format) jobs so every process stays busy (each
+    # process then runs the full pipeline once for its first format of a
+    # scene — subset order preserves loosest-SH-cap-first, so outputs stay
+    # byte-identical to standalone runs).
+    scene_rr = len(inputs) >= process_count
     for si, src in enumerate(inputs):
-        # round-robin over SCENES (the unit of shared work)
-        if si % process_count != process_index:
+        if scene_rr and si % process_count != process_index:
             continue
         base = os.path.splitext(os.path.basename(src))[0]
         shared_cloud = None
         shared_handler = None
         for fi, fmt in enumerate(fmts):
+            if (not scene_rr
+                    and (si * len(fmts) + fi) % process_count != process_index):
+                continue
             out = os.path.join(out_dir, f"{base}_{fmt}{EXT_MAP[fmt]}")
             status_print(
                 f"[batch {si * len(fmts) + fi + 1}/{n_jobs}] {src} -> {out}"

@@ -98,9 +98,18 @@ class Converter:
         """Full pipeline.  Pass ``checkpoint_dir=`` to snapshot the canonical
         cloud after each stage and resume a preempted run from the last
         completed stage (deterministic restartable stages, SURVEY.md §5)."""
-        opts = _opts_from_kwargs(kwargs)
+        # timing is module state (utils/log reads it at call time); scope it
+        # to this conversion so batch/library callers don't inherit it.
+        prev_timing = config_mod.TIMING
         if kwargs.get("timing"):
             config_mod.TIMING = True
+        try:
+            return self._run_inner(**kwargs)
+        finally:
+            config_mod.TIMING = prev_timing
+
+    def _run_inner(self, **kwargs: Any) -> SplatCloud:
+        opts = _opts_from_kwargs(kwargs)
         ckpt_dir = kwargs.get("checkpoint_dir")
         from tqdm import tqdm
 

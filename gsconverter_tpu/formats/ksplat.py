@@ -296,7 +296,7 @@ class KSplatFormat(BaseFormat):
             scales_lin = np.exp(c.log_scale)
             rgb = np.clip((0.5 + SH_C0 * c.sh_dc) * 255.0, 0, 255).astype(np.uint8)
             alpha = np.clip(
-                (1.0 / (1.0 + np.exp(-c.opacity))) * 255.0, 0, 255
+                quant.sigmoid(c.opacity) * 255.0, 0, 255
             ).astype(np.uint8)
             color = np.concatenate([rgb, alpha[:, None]], axis=1)
         else:

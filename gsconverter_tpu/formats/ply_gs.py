@@ -65,14 +65,13 @@ def _get(vertices: np.ndarray, prefix: str, name: str):
     return None
 
 
-def _field_group(vertices: np.ndarray, prefix: str, names: list[str]):
-    """[n, len(names)] f32 matrix extracted as ONE strided copy.
+def _field_view(vertices: np.ndarray, prefix: str, names: list[str]):
+    """Zero-copy [n, len(names)] f32 strided VIEW over the record array.
 
     Requires the resolved fields to be consecutive same-dtype f4 record
     slots (true for every file the reference writes).  Returns None when
-    the layout doesn't qualify — callers fall back to per-column copies.
-    A 1M-splat deg-3 PLY has 62 columns; per-column extraction costs ~62
-    cache-line passes over the 248 MB body, group extraction ~8.
+    the layout doesn't qualify — callers fall back to copies.  The view is
+    read-only when the base is (e.g. an mmap-backed read, utils/ply.read).
     """
     flds = vertices.dtype.fields
     offs = []
@@ -87,11 +86,20 @@ def _field_group(vertices: np.ndarray, prefix: str, names: list[str]):
         return None
     if len(vertices) == 0:
         return np.zeros((0, len(names)), np.float32)
-    view = np.ndarray(
+    return np.ndarray(
         (len(vertices), len(names)), "<f4", buffer=vertices,
         offset=offs[0], strides=(vertices.dtype.itemsize, 4),
     )
-    return np.ascontiguousarray(view)
+
+
+def _field_group(vertices: np.ndarray, prefix: str, names: list[str]):
+    """[n, len(names)] f32 matrix extracted as ONE strided copy.
+
+    A 1M-splat deg-3 PLY has 62 columns; per-column extraction costs ~62
+    cache-line passes over the 248 MB body, group extraction ~8.
+    """
+    view = _field_view(vertices, prefix, names)
+    return None if view is None else np.ascontiguousarray(view)
 
 
 def cloud_from_vertex_array(
@@ -115,8 +123,16 @@ def cloud_from_vertex_array(
             return np.full(n, default, np.float32)
         return np.ascontiguousarray(v, dtype=np.float32)
 
-    def group(names, defaults=None):
-        g = _field_group(vertices, prefix, names)
+    def group(names, defaults=None, copy=True):
+        """Strided f4 run -> matrix.  ``copy=False`` returns a zero-copy
+        VIEW over the record buffer (mmap-backed for utils/ply.read files):
+        cold leaves that downstream stages touch at most once (normals,
+        SH, scales, quats) skip their extraction pass entirely — the page
+        cache is read by whichever pass first consumes them.  Hot leaves
+        (pos, opacity: many elementwise filter passes each) stay contiguous
+        copies, since a [N,k]-of-[N,62] strided view drags the full 248-byte
+        record through cache per 12 used bytes on EVERY pass."""
+        g = (_field_group if copy else _field_view)(vertices, prefix, names)
         if g is not None:
             return g
         if defaults is None:
@@ -126,24 +142,33 @@ def cloud_from_vertex_array(
         )
 
     pos = group(["x", "y", "z"])
-    normal = group(["nx", "ny", "nz"])
-    sh_dc = group(["f_dc_0", "f_dc_1", "f_dc_2"])
+    normal = group(["nx", "ny", "nz"], copy=False)
+    sh_dc = group(["f_dc_0", "f_dc_1", "f_dc_2"], copy=False)
 
-    # SH AC: count present columns, re-stride to [3,15] in one group copy.
+    # SH AC: count present columns; full-width files re-stride to [3,15]
+    # as a zero-copy view (last-axis split keeps strides valid), lower
+    # degrees need the zero-padded copy.
     n_rest = 0
     for i in range(45):
         if _get(vertices, prefix, f"f_rest_{i}") is None:
             break
         n_rest = i + 1
-    sh_rest = np.zeros((n, 3, 15), np.float32)
-    if n_rest:
-        dim = n_rest // 3
-        flat = group([f"f_rest_{i}" for i in range(n_rest)])
-        sh_rest[:, :, :dim] = flat.reshape(n, 3, dim)
+    if n_rest == 45:
+        flat = group([f"f_rest_{i}" for i in range(45)], copy=False)
+        # last-axis split of the [N,45] strided view stays a view;
+        # reshape silently copies only if the layout can't express it
+        sh_rest = flat.reshape(n, 3, 15)
+    else:
+        sh_rest = np.zeros((n, 3, 15), np.float32)
+        if n_rest:
+            dim = n_rest // 3
+            flat = group([f"f_rest_{i}" for i in range(n_rest)])
+            sh_rest[:, :, :dim] = flat.reshape(n, 3, dim)
 
     opacity = col("opacity")
-    log_scale = group(["scale_0", "scale_1", "scale_2"])
-    quat = group(["rot_0", "rot_1", "rot_2", "rot_3"], defaults=[1.0, 0.0, 0.0, 0.0])
+    log_scale = group(["scale_0", "scale_1", "scale_2"], copy=False)
+    quat = group(["rot_0", "rot_1", "rot_2", "rot_3"],
+                 defaults=[1.0, 0.0, 0.0, 0.0], copy=False)
 
     has_rgb = "red" in vertices.dtype.names
     rgb = (

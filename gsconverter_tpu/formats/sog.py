@@ -66,7 +66,14 @@ class _ImageBundle:
             blobs = list(ex.map(
                 lambda it: _webp_bytes(it[1], it[2], it[3]), self.items))
         for (name, _, _, _), blob in zip(self.items, blobs):
-            self.zf.writestr(name, blob)
+            self.zf.writestr(_zentry(name), blob)
+
+
+def _zentry(name: str) -> zipfile.ZipInfo:
+    """Fixed-timestamp ZipInfo: ``writestr`` with a bare name stamps the
+    current time into the entry header, making byte-identical reruns
+    impossible (batch byte-identity matrix test)."""
+    return zipfile.ZipInfo(name, date_time=(1980, 1, 1, 0, 0, 0))
 
 
 def _read_webp_flat(zf: zipfile.ZipFile, name: str, expected: int) -> np.ndarray:
@@ -353,6 +360,6 @@ class SogFormat(BaseFormat):
         _mark("labels+meta")
         bundle.flush()  # concurrent WebP encodes, then zip entries
         _mark("webp_flush")
-        zf.writestr("meta.json", json.dumps(meta))
+        zf.writestr(_zentry("meta.json"), json.dumps(meta))
         zf.close()
         status_print(f"SOG write completed to {path}. {n} points bundled.")

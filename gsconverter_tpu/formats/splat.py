@@ -86,7 +86,7 @@ class SplatFormat(BaseFormat):
             from ..cloud import SH_C0
 
             c = cloud
-            alpha_lin = 1.0 / (1.0 + np.exp(-c.opacity))
+            alpha_lin = quant.sigmoid(c.opacity)
             metric = np.exp(np.sum(c.log_scale, axis=1)) * alpha_lin
             order = np.argsort(-metric)
             q = c.quat[order]

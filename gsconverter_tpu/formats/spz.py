@@ -35,22 +35,29 @@ MAGIC = 0x5053474E
 COLOR_SCALE = 0.15
 
 
-@jax.jit
 def _encode_core(pos, opacity, sh_dc, log_scale, quat):
+    """Residency-generic (quant._xp pattern): host numpy clouds encode at
+    host memory bandwidth with no device round trip; device clouds fuse
+    under jit via ``_encode_core_jit``."""
+    xp = quant._xp(pos)
     pos_b = quant.pos_to_fixed24(pos, 12)  # [N,3,3] u8
     alpha = quant.logit_to_u8(opacity)
-    col = jnp.clip((sh_dc * COLOR_SCALE + 0.5) * 255.0, 0, 255).astype(jnp.uint8)
-    scales = jnp.clip((log_scale + 10.0) * 16.0, 0, 255).astype(jnp.uint8)
+    col = xp.clip((sh_dc * COLOR_SCALE + 0.5) * 255.0, 0, 255).astype(np.uint8)
+    scales = xp.clip((log_scale + 10.0) * 16.0, 0, 255).astype(np.uint8)
     rot = quant.pack_rot_spz(quat)
     return pos_b, alpha, col, scales, rot
 
 
-def _encode_sh(sh_rest_flat_interleaved: jax.Array, sh_dim: int) -> jax.Array:
+_encode_core_jit = jax.jit(_encode_core)
+
+
+def _encode_sh(sh_rest_flat_interleaved, sh_dim: int):
     """[N, sh_dim*3] coeff-major interleaved (R0,G0,B0,R1,...) -> snapped u8."""
+    xp = quant._xp(sh_rest_flat_interleaved)
     q5 = quant.quant_sh_spz(sh_rest_flat_interleaved[:, :9], 5)
     if sh_dim > 3:
         q4 = quant.quant_sh_spz(sh_rest_flat_interleaved[:, 9:], 4)
-        return jnp.concatenate([q5, q4], axis=1)
+        return xp.concatenate([q5, q4], axis=1)
     return q5
 
 
@@ -126,7 +133,8 @@ class SpzFormat(BaseFormat):
         sh_deg = min(detect_active_degree(cloud), self.max_sh_degree)
         debug_print(f"[DEBUG] SPZ Write: effective SH degree {sh_deg} (from content).")
 
-        pos_b, alpha, col, scales, rot = _encode_core(
+        enc = _encode_core if cloud.is_host else _encode_core_jit
+        pos_b, alpha, col, scales, rot = enc(
             cloud.pos, cloud.opacity, cloud.sh_dc, cloud.log_scale, cloud.quat
         )
         parts = [
@@ -139,12 +147,17 @@ class SpzFormat(BaseFormat):
         sh_dim = DIM_FOR_DEGREE[sh_deg]
         if sh_dim > 0:
             # canonical [N,3,15] channel-major -> coeff-major interleave R0,G0,B0,...
-            inter = jnp.transpose(cloud.sh_rest[:, :, :sh_dim], (0, 2, 1)).reshape(n, sh_dim * 3)
-            parts.append(np.asarray(_encode_sh(inter, sh_dim)).tobytes())
+            xp = quant._xp(cloud.sh_rest)
+            inter = xp.transpose(cloud.sh_rest[:, :, :sh_dim], (0, 2, 1)).reshape(n, sh_dim * 3)
+            parts.append(np.ascontiguousarray(np.asarray(_encode_sh(inter, sh_dim))).tobytes())
 
         header = struct.pack("<IIIBBBB", MAGIC, 3, n, sh_deg, 12, 1, 0)
         comp_level = int(kwargs.get("compression_level", 0) or 0)
-        payload = gzip.compress(header + b"".join(parts), compresslevel=comp_level)
+        # mtime=0: the default (current time) lands in the gzip header and
+        # makes byte-identical reruns impossible (caught by the batch
+        # byte-identity matrix test)
+        payload = gzip.compress(header + b"".join(parts),
+                                compresslevel=comp_level, mtime=0)
         with open(path, "wb") as f:
             f.write(payload)
         status_print(f"Native SPZ (v3, lvl={comp_level}) export completed. {n} points.")

@@ -174,7 +174,15 @@ def _sor_stage_loop(skeys, spos, svalid, ci_sorted, cell, k: int, cap: int,
         found = jnp.isfinite(dk2)
         dist = jnp.sqrt(jnp.where(found, dk2, 0.0))
         cnt = jnp.sum(found, axis=1)
-        fill = (k - cnt).astype(jnp.float32) * cell
+        # Unified missing-neighbor rule (shared with the window path,
+        # _sor_window_loop): fill at the largest FOUND distance, floored at
+        # the method's search reach (one cell ring here) so fully isolated
+        # points — zero neighbors in the 27-cell scan — still rank as
+        # outliers instead of md=0.  Keeps sor_mean_knn_dists (grid) and
+        # sor_mask (window) ranking sparse points identically
+        # (tests/test_filters.py::test_sor_fill_semantics_agree).
+        fill = (k - cnt).astype(jnp.float32) * jnp.maximum(
+            jnp.max(dist, axis=1), cell)
         return (jnp.sum(dist, axis=1) + fill) / k
 
     nb = spos_p.shape[0] // block
@@ -514,7 +522,13 @@ def _sor_mask_window_fused(pos, n_valid, sigma, k: int, approx: bool,
 
 def sor_mean_knn_dists(pos: jax.Array, k: int = 25, cap: int = DEFAULT_CAP,
                        block: int = 2048) -> jax.Array:
-    """Mean distance to the <=k nearest neighbors for every point [N,3]."""
+    """Mean distance to the <=k nearest neighbors for every point [N,3].
+
+    Missing-neighbor rule (shared with ``sor_mask``'s window path): when
+    fewer than k neighbors are found, the missing slots fill at the largest
+    found distance, floored at the method's search reach — so isolated
+    points rank as outliers under BOTH code paths (one documented rule;
+    tests/test_filters.py::test_sor_fill_semantics_agree)."""
     n = pos.shape[0]
     p = next_pow2(n)
     posp = pad_rows(pos, p, PAD_POS)
@@ -601,7 +615,8 @@ def sor_mask(pos: jax.Array, k: int, sigma: float, approx: bool | None = None,
     pos = jnp.asarray(pos)  # committed to a device BEFORE impl resolution
     n = pos.shape[0]
     p = next_pow2(n)
-    if impl == "auto":
+    auto_resolved = impl == "auto"
+    if auto_resolved:
         from .kmeans import _resolve_impl
 
         impl = _resolve_impl(pos, "auto") if p >= 4096 else "xla"
@@ -609,13 +624,16 @@ def sor_mask(pos: jax.Array, k: int, sigma: float, approx: bool | None = None,
             impl = "xla"  # caller asked for exact within-window top-k
     if impl.startswith("pallas") and _PALLAS_BLOCK % window != 0:
         # Mosaic kernel constraint: window must divide its 512-lane block.
-        # Explicit pallas request -> clear error; auto resolution above
-        # never lands here with the default window.
-        raise ValueError(
-            f"sor_mask: impl='pallas' requires window to divide "
-            f"{_PALLAS_BLOCK} (got {window}); use impl='xla' for arbitrary "
-            "windows"
-        )
+        # Auto resolution silently takes the XLA loop (which handles any
+        # window); only an EXPLICIT pallas request gets the clear error.
+        if auto_resolved:
+            impl = "xla"
+        else:
+            raise ValueError(
+                f"sor_mask: impl='pallas' requires window to divide "
+                f"{_PALLAS_BLOCK} (got {window}); use impl='xla' for "
+                "arbitrary windows"
+            )
     posp = pad_rows(pos, p, PAD_POS)
     return _sor_mask_padded(
         posp, jnp.int32(n), min(int(k), MAX_K), jnp.float32(sigma),

@@ -14,7 +14,7 @@ from __future__ import annotations
 
 import dataclasses
 import io
-import struct
+import mmap
 
 import numpy as np
 
@@ -111,9 +111,27 @@ def read_header(f) -> tuple[list, str, list[str]]:
 
 
 def read(path: str) -> PlyFile:
+    """Parse a PLY file.
+
+    Binary little-endian files (the reference's output format) are memory-
+    mapped and the element arrays are ZERO-COPY views over the mapping —
+    ``f.read()`` alone costs ~0.28 s at 1M splats (248 MB page-fault +
+    copy), while the mmap path defers the page-ins to whichever downstream
+    pass first touches each column.  The views are read-only; the codec
+    layer copies exactly the columns it must (ply_gs.cloud_from_vertex_array).
+    """
     with open(path, "rb") as f:
         specs, fmt, comments = read_header(f)
-        body = f.read()
+        data_offset = f.tell()
+        if fmt == "binary_little_endian":
+            try:
+                body = memoryview(
+                    mmap.mmap(f.fileno(), 0, access=mmap.ACCESS_READ)
+                )[data_offset:]
+            except (ValueError, OSError):  # empty/special files
+                body = f.read()
+        else:
+            body = f.read()
     out: list[PlyElement] = []
     if fmt == "ascii":
         out = _read_ascii(body, specs)
@@ -196,7 +214,33 @@ def _read_ascii(body: bytes, specs) -> list[PlyElement]:
 
 
 def write(path: str, elements: list[PlyElement], comments: list[str] | None = None):
-    """Write binary_little_endian PLY with the given elements in order."""
+    """Write binary_little_endian PLY with the given elements in order.
+
+    Writes to a same-directory temp file and ``os.replace``s into place:
+    read clouds can be zero-copy views over an mmap of the SOURCE file
+    (see ``read``), and truncating a file that is still mapped (an
+    in-place ``-i x.ply -o x.ply`` conversion) would SIGBUS the encode
+    pass mid-write.  The atomic swap keeps the old inode alive for the
+    mapping and never exposes a half-written file.
+    """
+    import os
+    import tempfile
+
+    d = os.path.dirname(os.path.abspath(path))
+    fd, tmp = tempfile.mkstemp(dir=d, suffix=".ply.tmp")
+    os.close(fd)
+    try:
+        _write_to(tmp, elements, comments)
+        os.replace(tmp, path)
+    except BaseException:
+        try:
+            os.unlink(tmp)
+        except OSError:
+            pass
+        raise
+
+
+def _write_to(path: str, elements, comments):
     header = io.StringIO()
     header.write("ply\nformat binary_little_endian 1.0\n")
     for c in comments or []:

@@ -109,38 +109,6 @@ def test_format_matrix_n_to_n(tmp_path, ply_file):
         assert d.n == 800, fmt
 
 
-def test_convert_batch_matrix(tmp_path):
-    from gsconverter_tpu.batch import convert_batch
-
-    for i in range(2):
-        c = make_cloud(150, seed=i)
-        get_handler("3dgs").write(c, str(tmp_path / f"scene{i}.ply"))
-    out_dir = str(tmp_path / "out")
-    done = convert_batch(
-        str(tmp_path / "scene*.ply"), out_dir, ["splat", "spz"], force=True
-    )
-    assert len(done) == 4
-    for _, fmt, out in done:
-        assert os.path.exists(out)
-        assert get_handler(fmt).read(out).n == 150
-
-
-def test_convert_batch_round_robin(tmp_path):
-    """Scenes (the unit of shared read+filter work) round-robin over
-    processes; each process writes ALL formats for its scenes."""
-    from gsconverter_tpu.batch import convert_batch
-
-    for i in range(2):
-        get_handler("3dgs").write(make_cloud(100, seed=i),
-                                  str(tmp_path / f"s{i}.ply"))
-    a = convert_batch(str(tmp_path / "s*.ply"), str(tmp_path / "o"), ["splat", "spz"],
-                      process_index=0, process_count=2, force=True)
-    b = convert_batch(str(tmp_path / "s*.ply"), str(tmp_path / "o"), ["splat", "spz"],
-                      process_index=1, process_count=2, force=True)
-    assert len(a) == 2 and len(b) == 2
-    assert {x[0] for x in a} != {x[0] for x in b}  # disjoint scenes
-
-
 def test_convert_batch_matches_standalone(tmp_path):
     """The batch fast path (one read+filter, N writes via write_processed)
     must be byte-identical to standalone convert() per format — including
@@ -159,6 +127,46 @@ def test_convert_batch_matches_standalone(tmp_path):
         batched = str(tmp_path / "b" /
                       f"s0_{fmt}{get_handler(fmt).extension}")
         assert open(solo, "rb").read() == open(batched, "rb").read(), fmt
+
+
+@pytest.mark.parametrize("deg", [0, 3])
+def test_convert_batch_byte_identity_matrix(tmp_path, deg):
+    """Degree matrix hardening of the batch byte-identity claim
+    (batch.py loosest-cap-first ordering): deg-0 and deg-3 sources x
+    {splat, spz, sog, 3dgs} — every write_processed output byte-identical
+    to a standalone run()."""
+    from gsconverter_tpu.batch import convert_batch
+    from gsconverter_tpu.converter import convert
+
+    get_handler("3dgs").write(make_cloud(600, sh_degree=deg, seed=3 + deg),
+                              str(tmp_path / "s0.ply"))
+    fmts = ["splat", "spz", "sog", "3dgs"]  # caps 0 / 3 / 3 / 3
+    kw = dict(min_opacity=10, force=True)
+    convert_batch(str(tmp_path / "s0.ply"), str(tmp_path / "b"), fmts, **kw)
+    for fmt in fmts:
+        solo = str(tmp_path / f"solo_{fmt}{get_handler(fmt).extension}")
+        convert(str(tmp_path / "s0.ply"), solo, fmt, **kw)
+        batched = str(tmp_path / "b" /
+                      f"s0_{fmt}{get_handler(fmt).extension}")
+        assert open(solo, "rb").read() == open(batched, "rb").read(), (fmt, deg)
+
+
+def test_convert_batch_job_fallback_when_few_scenes(tmp_path):
+    """With fewer scenes than processes the distribution unit falls back to
+    per-(scene, format) jobs so every process contributes (ADVICE r3)."""
+    from gsconverter_tpu.batch import convert_batch
+
+    get_handler("3dgs").write(make_cloud(200, sh_degree=1, seed=1),
+                              str(tmp_path / "s0.ply"))
+    a = convert_batch(str(tmp_path / "s*.ply"), str(tmp_path / "o"),
+                      ["splat", "spz", "ksplat"], process_index=0,
+                      process_count=2, force=True)
+    b = convert_batch(str(tmp_path / "s*.ply"), str(tmp_path / "o"),
+                      ["splat", "spz", "ksplat"], process_index=1,
+                      process_count=2, force=True)
+    assert len(a) > 0 and len(b) > 0  # both processes busy
+    assert len(a) + len(b) == 3
+    assert not (set(x[2] for x in a) & set(x[2] for x in b))
 
 
 def test_convert_batch_matrix(tmp_path):

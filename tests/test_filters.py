@@ -153,6 +153,37 @@ def test_sor_window_matches_grid_method():
     assert (mw == mg).mean() > 0.99
 
 
+def test_sor_fill_semantics_agree():
+    """Unified missing-neighbor fill rule (VERDICT r3 item 7): the public
+    per-point API (grid semantics) and the window path behind sor_mask must
+    rank isolated points identically — both put the flyers at the very top
+    of the md ranking, and both masks drop them."""
+    r = np.random.default_rng(17)
+    dense = r.normal(0, 0.05, (3000, 3)).astype(np.float32)
+    flyers = np.array([[200.0, 0, 0], [0, 300.0, 0], [0, 0, -250.0]],
+                      np.float32)  # so isolated the grid 27-cell scan is empty
+    pos = jnp.asarray(np.concatenate([dense, flyers]))
+    n = pos.shape[0]
+    k = 12
+
+    md_grid = np.asarray(sor.sor_mean_knn_dists(pos, k=k))
+    p = sor.next_pow2(n)
+    posp = sor.pad_rows(pos, p, sor.PAD_POS)
+    valid = jnp.arange(p) < n
+    md_win = np.asarray(
+        sor._sor_md_window(posp, valid, k, passes=2)
+    )[:n]
+
+    # both paths rank the three flyers as the three largest md values
+    assert set(np.argsort(md_grid)[-3:]) == {3000, 3001, 3002}
+    assert set(np.argsort(md_win)[-3:]) == {3000, 3001, 3002}
+    # and both masks drop them while keeping the dense blob
+    for method in ("grid", "window"):
+        m = np.asarray(sor.sor_mask(pos, k=k, sigma=3.0, method=method))
+        assert not m[3000:].any(), method
+        assert m[:3000].mean() > 0.95, method
+
+
 def test_sor_adversarial_clustered_scene():
     """Two dense blobs + a sparse bridge of flyers (VERDICT r1 item 4):
     window-method mask must agree with an exact KDTree SOR."""
