@@ -167,6 +167,78 @@ def _density_gather(vox_keep, inv, valid):
     return vox_keep[jnp.clip(inv, 0, vox_keep.shape[0] - 1)] & valid
 
 
+def _density_mask_host(
+    pos: np.ndarray,
+    voxel_size: float,
+    threshold_percentage: float,
+    keep_multicluster: bool,
+) -> np.ndarray:
+    """Host-resident numpy path — same contract as the device path.
+
+    Rationale (measured, 1M splats): the device path is three dispatches
+    plus a scalar sync; on this environment's high-latency device link that
+    costs ~0.4 s while the arithmetic itself is trivial.  The host path is
+    one int64 sort + searchsorted adjacency + an O(log diameter) label-
+    propagation loop over the ~30-100x-smaller occupied-voxel table:
+    ~0.1 s, no transfers.  Device-resident/sharded clouds still take the
+    jit path (residency-aware dispatch in ``density_mask``).
+    """
+    n = pos.shape[0]
+    vox = np.floor(pos.astype(np.float32) / np.float32(voxel_size))
+    base = vox.min(axis=0)
+    gmax = (1 << WIDE_BITS) - 1
+    ci = np.clip(vox - base, 0, gmax).astype(np.int64)
+    keys = (ci[:, 0] << (2 * WIDE_BITS)) | (ci[:, 1] << WIDE_BITS) | ci[:, 2]
+
+    skeys = np.sort(keys)
+    is_first = np.empty(n, bool)
+    is_first[0] = True
+    np.not_equal(skeys[1:], skeys[:-1], out=is_first[1:])
+    uniq = skeys[is_first]  # ascending occupied-voxel keys [m]
+    starts = np.flatnonzero(is_first)
+    counts = np.diff(np.append(starts, n)).astype(np.int64)
+    m = uniq.shape[0]
+
+    min_points = int(threshold_percentage / 100.0 * n)
+    dense = counts >= min_points  # [m]
+
+    # 6-neighbor adjacency among dense voxels via searchsorted on uniq
+    ux, uy, uz = uniq >> (2 * WIDE_BITS), (uniq >> WIDE_BITS) & gmax, uniq & gmax
+    offs = np.array(
+        [[1, 0, 0], [-1, 0, 0], [0, 1, 0], [0, -1, 0], [0, 0, 1], [0, 0, -1]],
+        np.int64,
+    )
+    ncoord = np.stack([ux, uy, uz], axis=1)[:, None, :] + offs[None, :, :]
+    in_grid = np.all((ncoord >= 0) & (ncoord <= gmax), axis=-1)
+    nkeys = ((ncoord[..., 0] << (2 * WIDE_BITS))
+             | (ncoord[..., 1] << WIDE_BITS) | ncoord[..., 2])
+    loc = np.searchsorted(uniq, nkeys.reshape(-1)).reshape(m, 6)
+    loc = np.clip(loc, 0, m - 1)
+    found = (uniq[loc] == nkeys) & in_grid
+    neigh_ok = found & dense[loc] & dense[:, None]
+
+    # min-label propagation with pointer jumping (same scheme as stage 2)
+    labels = np.where(dense, np.arange(m, dtype=np.int64), m)
+    neigh_idx = np.where(neigh_ok, loc, m)  # [m,6]
+    while True:
+        padded = np.append(labels, m)
+        nl = padded[neigh_idx].min(axis=1)
+        new = np.where(dense, np.minimum(labels, nl), labels)
+        new = np.where(dense, np.minimum(new, padded[new]), new)
+        new = np.where(dense, np.minimum(new, padded[padded[new]]), new)
+        if np.array_equal(new, labels):
+            break
+        labels = new
+
+    sizes = np.bincount(np.clip(labels, 0, m - 1), weights=dense, minlength=m)
+    if keep_multicluster:
+        keep_cluster = sizes >= sizes.max() * 0.05
+    else:
+        keep_cluster = np.arange(m) == int(np.argmax(sizes))
+    vox_keep = dense & keep_cluster[np.clip(labels, 0, m - 1)]
+    return vox_keep[np.searchsorted(uniq, keys)]
+
+
 def density_mask(
     pos: jax.Array,
     voxel_size: float,
@@ -175,12 +247,19 @@ def density_mask(
 ) -> jax.Array:
     """Keep-mask for the density filter over positions [N,3].
 
-    Pads to a power-of-two bucket internally — one compile per (point
-    bucket, voxel bucket) pair.  Scenes whose extent exceeds 1023 voxels
-    per axis automatically take the exact int64 wide-grid path (1M
-    cells/axis).
+    Residency-aware: host numpy positions run the pure-numpy path (no
+    device round trips — see ``_density_mask_host``); device arrays run
+    the two-stage jit path, padded to power-of-two buckets (one compile
+    per (point bucket, voxel bucket) pair).  Scenes whose extent exceeds
+    1023 voxels per axis automatically take the exact int64 wide-grid path
+    (1M cells/axis).
     """
     n = pos.shape[0]
+    if isinstance(pos, np.ndarray) and n:
+        return _density_mask_host(
+            pos, float(voxel_size), float(threshold_percentage),
+            keep_multicluster,
+        )
     p = next_pow2(n)
     if isinstance(pos, np.ndarray):
         extent = float(np.max(pos.max(axis=0) - pos.min(axis=0))) if n else 0.0

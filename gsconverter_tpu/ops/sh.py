@@ -69,8 +69,18 @@ def cap_degree(cloud: SplatCloud, degree: int | None) -> SplatCloud:
         return cloud
     dim = DIM_FOR_DEGREE[degree]
     if isinstance(cloud.sh_rest, np.ndarray):
-        rest = cloud.sh_rest.copy()
-        rest[:, :, dim:] = 0.0
+        if dim == 0:
+            # all-zero result: a 0-stride broadcast view costs nothing
+            # (180 MB allocate+copy at 1M splats otherwise); downstream
+            # consumers only read it, and select/compact rematerializes
+            rest = np.broadcast_to(
+                np.zeros((), np.float32), cloud.sh_rest.shape
+            )
+        else:
+            # zero-fill + copy only the surviving columns (reads dim/15
+            # of the source instead of all of it)
+            rest = np.zeros_like(cloud.sh_rest)
+            rest[:, :, :dim] = cloud.sh_rest[:, :, :dim]
     else:
         mask = (jnp.arange(cloud.sh_rest.shape[-1]) < dim).astype(cloud.sh_rest.dtype)
         rest = cloud.sh_rest * mask[None, None, :]
