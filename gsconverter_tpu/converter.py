@@ -334,6 +334,9 @@ class Converter:
             )
 
         target_handler = get_handler(self.target_format)
+        # the pipeline already scanned content for the SH degree and synced
+        # the metadata; the hint lets codecs skip their own full re-scan
+        write_kwargs.setdefault("sh_content_degree", cloud.active_sh_degree)
         with self.timer.stage("write", cloud.n):
             target_handler.write(cloud, self.output_path, **write_kwargs)
         if pbar:

@@ -186,7 +186,7 @@ class CompressedPlyFormat(BaseFormat):
         )
 
     def write(self, cloud: SplatCloud, path: str, **kwargs) -> None:
-        from ..ops.sh import detect_active_degree
+        from ..ops.sh import effective_sh_degree
         from ..cloud import COEFFS_FOR_DEGREE
 
         n = cloud.n
@@ -212,7 +212,7 @@ class CompressedPlyFormat(BaseFormat):
 
         elements = [ply.PlyElement("chunk", chunk_arr), ply.PlyElement("vertex", vert_arr)]
 
-        deg = detect_active_degree(cloud)
+        deg = effective_sh_degree(cloud, kwargs, 3)
         n_coeffs = COEFFS_FOR_DEGREE[deg]
         if n_coeffs > 0:
             # degree-packed channel-major (stride = per-channel dim), the

@@ -198,7 +198,7 @@ class KSplatFormat(BaseFormat):
 
     # ----------------------------------------------------------------- write
     def write(self, cloud: SplatCloud, path: str, **kwargs) -> None:
-        from ..ops.sh import detect_active_degree
+        from ..ops.sh import effective_sh_degree
 
         comp = int(kwargs.get("compression_level", 0) or 0)
         bucket_size = int(kwargs.get("bucket_size") or 256)
@@ -243,7 +243,7 @@ class KSplatFormat(BaseFormat):
                 block_size = 5.0
         block_size = float(block_size)
 
-        sh_degree = min(detect_active_degree(cloud), 2)
+        sh_degree = effective_sh_degree(cloud, kwargs, 2)
         req = kwargs.get("sh_level")
         if req is not None and int(req) < sh_degree:
             sh_degree = int(req)

@@ -40,9 +40,12 @@ except ImportError:  # pragma: no cover
 
 
 def _webp_bytes(flat_rgba: np.ndarray, w: int, h: int) -> bytes:
+    # quality=0 selects the fastest LOSSLESS effort level (quality only
+    # trades encode time for size in lossless mode) — measured 6x faster
+    # than quality=100 at identical output size on codebook-index planes
     img = Image.frombytes("RGBA", (w, h), flat_rgba.tobytes())
     bio = io.BytesIO()
-    img.save(bio, format="WEBP", lossless=True, quality=100, method=1)
+    img.save(bio, format="WEBP", lossless=True, quality=0, method=1)
     return bio.getvalue()
 
 
@@ -100,6 +103,43 @@ def _encode_fixed(pos, quat, opacity):
     return order, u16, mins, maxs, q_u8, q_alpha, op_u8
 
 
+def _encode_fixed_host(pos, quat, opacity):
+    """Numpy mirror of ``_encode_fixed`` for host-resident clouds.
+
+    The device version costs ~40 MB of uploads plus ~35 MB of readbacks;
+    on the measured ~40 MB/s link in each direction that's seconds of wall
+    time for <1 s of host arithmetic (SOG write profile, round 4).
+
+    Ordering delta: one u32 Morton argsort instead of the reference's
+    3-key lexsort — lexsort runs three stable argsort passes (~2 s at 3M)
+    where Morton needs one (~0.4 s), and Morton order gives equal-or-
+    better 2D texture locality for the WebP delta filters.  The ordering
+    only affects compression ratio, not decoded values."""
+    pos = np.ascontiguousarray(pos)
+    mins3 = pos.min(axis=0)
+    rng3 = pos.max(axis=0) - mins3
+    t = (pos - mins3) / np.where(rng3 > 0, rng3, 1.0)
+    g = (t * 1023.0).astype(np.uint32)
+    order = np.argsort(quant.morton3_u32(g[:, 0], g[:, 1], g[:, 2]),
+                       kind="stable")
+    p = pos[order]
+    lp = np.sign(p) * np.log1p(np.abs(p))
+    mins = lp.min(axis=0)
+    maxs = lp.max(axis=0)
+    rng = np.where(maxs - mins > 0, maxs - mins, 1.0)
+    u16 = np.clip((lp - mins) / rng * 65535.0, 0, 65535).astype(np.uint16)
+    q_u8, q_alpha = quant.pack_rot_sog(np.ascontiguousarray(quat)[order])
+    op_u8 = np.clip(
+        quant.sigmoid(np.ascontiguousarray(opacity)[order]) * 255.0, 0, 255
+    ).astype(np.uint8)
+    return order, u16, mins, maxs, q_u8, q_alpha, op_u8
+
+
+@jax.jit
+def _dequant_u8(q8, scale, mn):
+    return q8.astype(jnp.float32) * scale + mn
+
+
 @jax.jit
 def _nearest_u8(vals, codebook):
     """Codebook lookup fused into ONE program — the eager op chain pays
@@ -119,6 +159,31 @@ def _fit_scalar_codebook(vals: jax.Array, seed: int) -> np.ndarray:
         fit = v
     c, _ = kmeans(fit[:, None], 256, max_iter=20, seed=seed)
     return np.sort(np.asarray(c).reshape(-1))
+
+
+def _fit_scalar_codebook_host(vals: np.ndarray, seed: int) -> np.ndarray:
+    """Host 1-D Lloyd on a <=50k subsample: quantile init + searchsorted
+    assignment + bincount update — milliseconds, no device round trips.
+    Same statistical contract as the device fit (256 sorted entries, empty
+    clusters keep their previous centroid, fixed 20 iterations)."""
+    v = np.asarray(vals, np.float32).reshape(-1)
+    if v.size > 50000:
+        idx = np.random.default_rng(seed).choice(v.size, 50000, replace=False)
+        fit = v[idx]
+    else:
+        fit = v
+    if fit.size == 0:
+        return np.zeros(256, np.float32)
+    fs = np.sort(fit)
+    c = fs[np.linspace(0, fs.size - 1, 256).astype(np.int64)].astype(np.float64)
+    for _ in range(20):
+        c = np.sort(c)
+        mid = (c[1:] + c[:-1]) * 0.5
+        lab = np.searchsorted(mid, fit)
+        sums = np.bincount(lab, weights=fit, minlength=256)
+        cnt = np.bincount(lab, minlength=256)
+        c = np.where(cnt > 0, sums / np.maximum(cnt, 1), c)
+    return np.sort(c).astype(np.float32)
 
 
 @register
@@ -202,7 +267,7 @@ class SogFormat(BaseFormat):
         import time as _time
 
         from .. import config as _config
-        from ..ops.sh import detect_active_degree
+        from ..ops.sh import effective_sh_degree
 
         _t = [_time.perf_counter()]
 
@@ -219,12 +284,51 @@ class SogFormat(BaseFormat):
 
         from ..utils.transfer import to_host
 
-        order, u16, mins, maxs, q_u8, q_alpha, op_u8 = _encode_fixed(
-            cloud.pos, cloud.quat, cloud.opacity
-        )
-        order_np = to_host(order)
-        u16 = to_host(u16)
+        host = cloud.is_host
+        if host:
+            # Host-resident encode: the device version pays ~40 MB up +
+            # ~35 MB back over a ~40 MB/s-each-way link for <1 s of
+            # arithmetic (round-4 SOG profile: 4-5 s for this stage alone).
+            order_np, u16, mins, maxs, q_u8, q_alpha, op_u8 = \
+                _encode_fixed_host(cloud.pos, cloud.quat, cloud.opacity)
+        else:
+            order, u16, mins, maxs, q_u8, q_alpha, op_u8 = _encode_fixed(
+                cloud.pos, cloud.quat, cloud.opacity
+            )
+            order_np = to_host(order)
+            u16 = to_host(u16)
         _mark("encode_fixed+pulls")
+
+        # shN palette input starts uploading EARLY and asynchronously:
+        # device_put returns a handle while the ~2 s transfer (72 MB u8 at
+        # the link's ~35 MB/s) proceeds in the background, overlapped with
+        # the image packing and scalar-codebook stages below.  u8 instead
+        # of f32 (288 MB): every centroid value is later snapped to a
+        # 256-entry scalar codebook, so u8 pre-quantization is below the
+        # format's own precision floor.  Bounds come from a strided SAMPLE
+        # (exact min/max would cost two extra passes over the mmap);
+        # out-of-sample outliers clip to the edge codebook entries.
+        sh_bands = effective_sh_degree(cloud, kwargs, 3)
+        _mark("detect_bands")
+        x_u8 = None
+        shq_scale = shq_min = 0.0
+        if sh_bands > 0 and host:
+            coeffs0 = COEFFS_FOR_DEGREE[sh_bands]
+            rest_sl = np.asarray(cloud.sh_rest)[:, :, :coeffs0 // 3]
+            samp = rest_sl[::97].astype(np.float32)
+            shq_min = float(samp.min()) if samp.size else 0.0
+            mx = float(samp.max()) if samp.size else 1.0
+            shq_scale = (mx - shq_min) / 255.0 or 1.0
+            # chunked: strided mmap read + arithmetic + u8 store stay
+            # cache-resident per block instead of five full-size temporaries
+            q8 = np.empty((n, coeffs0), np.uint8)
+            inv = 1.0 / shq_scale
+            for s in range(0, n, 262144):
+                blk = rest_sl[s:s + 262144].reshape(-1, coeffs0)
+                q8[s:s + 262144] = np.clip((blk - shq_min) * inv + 0.5, 0, 255)
+            q8 = q8[order_np]
+            _mark("shN_quant_u8")
+            x_u8 = jax.device_put(q8)  # async; consumed after the sh0 stage
 
         zf = zipfile.ZipFile(path, "w", zipfile.ZIP_STORED)
         bundle = _ImageBundle(zf, width, height)
@@ -245,11 +349,16 @@ class SogFormat(BaseFormat):
         _mark("quats")
 
         status_print("Clustering Scales...")
-        scl_sorted = np.asarray(cloud.log_scale)[order_np]
-        scale_cb = _fit_scalar_codebook(jnp.asarray(scl_sorted), seed=1)
-        # codebook indices fit u8 (256 entries): cast ON DEVICE so the
-        # readback carries 1 byte per value, not 4
-        scl_idx = to_host(_nearest_u8(jnp.asarray(scl_sorted), jnp.asarray(scale_cb)))
+        scl_sorted = np.ascontiguousarray(np.asarray(cloud.log_scale))[order_np]
+        if host:
+            scale_cb = _fit_scalar_codebook_host(scl_sorted, seed=1)
+            scl_idx = quant.nearest_codebook_index(
+                scl_sorted, scale_cb).astype(np.uint8)
+        else:
+            scale_cb = _fit_scalar_codebook(jnp.asarray(scl_sorted), seed=1)
+            # codebook indices fit u8 (256 entries): cast ON DEVICE so the
+            # readback carries 1 byte per value, not 4
+            scl_idx = to_host(_nearest_u8(jnp.asarray(scl_sorted), jnp.asarray(scale_cb)))
         scales_img = np.zeros((npix, 4), np.uint8)
         scales_img[:n, :3] = scl_idx
         scales_img[:n, 3] = 255
@@ -257,9 +366,14 @@ class SogFormat(BaseFormat):
         _mark("scales_codebook")
 
         status_print("Clustering Colors...")
-        dc_sorted = np.asarray(cloud.sh_dc)[order_np]
-        color_cb = _fit_scalar_codebook(jnp.asarray(dc_sorted), seed=2)
-        dc_idx = to_host(_nearest_u8(jnp.asarray(dc_sorted), jnp.asarray(color_cb)))
+        dc_sorted = np.ascontiguousarray(np.asarray(cloud.sh_dc))[order_np]
+        if host:
+            color_cb = _fit_scalar_codebook_host(dc_sorted, seed=2)
+            dc_idx = quant.nearest_codebook_index(
+                dc_sorted, color_cb).astype(np.uint8)
+        else:
+            color_cb = _fit_scalar_codebook(jnp.asarray(dc_sorted), seed=2)
+            dc_idx = to_host(_nearest_u8(jnp.asarray(dc_sorted), jnp.asarray(color_cb)))
         sh0_img = np.zeros((npix, 4), np.uint8)
         sh0_img[:n, :3] = dc_idx
         sh0_img[:n, 3] = to_host(op_u8)
@@ -267,12 +381,9 @@ class SogFormat(BaseFormat):
         _mark("sh0_codebook")
 
         shN_meta = None
-        sh_bands = detect_active_degree(cloud)
-        _mark("detect_bands")
         if sh_bands > 0:
             coeffs = COEFFS_FOR_DEGREE[sh_bands]
             per_color = coeffs // 3
-            sh_flat = np.asarray(cloud.sh_rest_flat())[order_np][:, :coeffs]
 
             comp_level = int(kwargs.get("compression_level", 0) or 0)
             status_print(f"SOG Write Quality Level: {comp_level} (0=Max, 9=Min)")
@@ -295,19 +406,40 @@ class SogFormat(BaseFormat):
             )
             from ..ops.kmeans import kmeans_chunked
 
+            if host:
+                # overlapped upload started right after encode; dequantize
+                # on device (fused into the k-means program by XLA)
+                x_dev = _dequant_u8(x_u8, jnp.float32(shq_scale),
+                                    jnp.float32(shq_min))
+                _mark("shN_upload_wait")
+            else:
+                # degree-packed channel-major [R0..Rp-1, G0.., B0..] —
+                # slicing the flat [N,45] layout to :coeffs instead (the
+                # round-1..3 code) scrambles G/B for degrees < 3 (caught by
+                # tests/test_formats.py::test_sog_low_degree_sh_roundtrip)
+                rest_sl = np.asarray(cloud.sh_rest)[:, :, :per_color]
+                sh_flat = np.ascontiguousarray(rest_sl).reshape(n, coeffs)[order_np]
+                x_dev = jnp.asarray(sh_flat)
             c, l = kmeans_chunked(
-                jnp.asarray(sh_flat), num_chunks, k_per_chunk, max_iter=10, seed=100
+                x_dev, num_chunks, k_per_chunk, max_iter=10, seed=100
             )
             centroids = to_host(c)
+            _mark("shN_fit+centroids_pull")
             # palette ids fit u16 (capped at 65536 above): slim on device
             labels = to_host(l.astype(jnp.uint16))
+            _mark("shN_labels_pull")
             palette_size = len(centroids)
             _mark("shN_kmeans")
 
             status_print("Clustering SH Centroids into Codebook...")
-            cbN = _fit_scalar_codebook(jnp.asarray(centroids.reshape(-1)), seed=3)
-            cent_idx = to_host(_nearest_u8(
-                jnp.asarray(centroids.reshape(-1)), jnp.asarray(cbN)))
+            if host:
+                cbN = _fit_scalar_codebook_host(centroids.reshape(-1), seed=3)
+                cent_idx = quant.nearest_codebook_index(
+                    centroids.reshape(-1), cbN).astype(np.uint8)
+            else:
+                cbN = _fit_scalar_codebook(jnp.asarray(centroids.reshape(-1)), seed=3)
+                cent_idx = to_host(_nearest_u8(
+                    jnp.asarray(centroids.reshape(-1)), jnp.asarray(cbN)))
 
             # Pack centroid-index image: [P, coeffs] channel-major ->
             # [P, per_color, 3] pixels laid out 64 palettes per row.

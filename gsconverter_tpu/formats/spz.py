@@ -127,10 +127,10 @@ class SpzFormat(BaseFormat):
         )
 
     def write(self, cloud: SplatCloud, path: str, **kwargs) -> None:
-        from ..ops.sh import detect_active_degree
+        from ..ops.sh import effective_sh_degree
 
         n = cloud.n
-        sh_deg = min(detect_active_degree(cloud), self.max_sh_degree)
+        sh_deg = effective_sh_degree(cloud, kwargs, self.max_sh_degree)
         debug_print(f"[DEBUG] SPZ Write: effective SH degree {sh_deg} (from content).")
 
         enc = _encode_core if cloud.is_host else _encode_core_jit

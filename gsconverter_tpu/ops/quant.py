@@ -229,11 +229,12 @@ def pack_rot_sog(quat_wxyz):
     max_idx = xp.argmax(xp.abs(q), axis=1)
     max_val = xp.take_along_axis(q, max_idx[:, None], axis=1)
     q = q * xp.sign(max_val) * SQRT2
-    comp_idx = xp.arange(4)[None, :]
-    is_max = comp_idx == max_idx[:, None]
-    # Gather the 3 non-max components in ascending index order.
-    order = xp.argsort(xp.where(is_max, 4, comp_idx), axis=1)[:, :3]
-    rest = xp.take_along_axis(q, order, axis=1)  # [N,3]
+    # The 3 non-max components in ascending index order: slot s holds
+    # component s, shifted past the max index — pure arithmetic instead of
+    # a per-row argsort (the argsort was ~2/3 of the host pack cost at 3M).
+    slots = xp.arange(3)[None, :]
+    comp = slots + (slots >= max_idx[:, None])
+    rest = xp.take_along_axis(q, comp, axis=1)  # [N,3]
     u8 = xp.clip((rest * 0.5 + 0.5) * 255.0, 0, 255).astype(jnp.uint8)
     return u8, (252 + max_idx).astype(jnp.uint8)
 
@@ -319,13 +320,17 @@ def dequant_sh_spz(u8):
 
 
 def nearest_codebook_index(vals, codebook):
-    """Nearest entry in a SORTED 1-D codebook via searchsorted
-    (reference sog.py:408-419). Returns int32 indices."""
+    """Nearest entry in a SORTED 1-D codebook (reference sog.py:408-419).
+
+    One searchsorted against the cell midpoints: val maps to entry i iff
+    mid[i-1] <= val < mid[i], which IS the nearest entry of a sorted
+    codebook — same result as the old binary-search-plus-refine at a
+    third of the memory passes.  Returns int32 indices."""
     xp = _xp(vals, codebook)
-    idx = xp.clip(xp.searchsorted(codebook, vals), 0, codebook.shape[0] - 1)
-    left = xp.maximum(idx - 1, 0)
-    use_left = xp.abs(vals - codebook[left]) < xp.abs(vals - codebook[idx])
-    return xp.where(use_left, left, idx).astype(jnp.int32)
+    mid = (codebook[1:] + codebook[:-1]) * 0.5
+    # side="right": a value exactly on a midpoint snaps to the RIGHT
+    # entry, matching the old refine step's strict-< comparison
+    return xp.searchsorted(mid, vals, side="right").astype(jnp.int32)
 
 
 # ------------------------------------------------------------- morton code

@@ -174,3 +174,25 @@ def test_sog_roundtrip(tmp_path):
     assert abs(np.mean(np.asarray(d.log_scale)) - np.mean(np.asarray(c.log_scale))) < 0.1
     assert abs(np.mean(np.asarray(d.sh_dc)) - np.mean(np.asarray(c.sh_dc))) < 0.1
     assert d.active_sh_degree == 1
+
+
+@pytest.mark.parametrize("deg", [1, 2, 3])
+def test_sog_low_degree_sh_roundtrip(tmp_path, deg):
+    """Per-channel SH integrity through the palette at every degree.
+
+    Regression: the writer built the palette input as ``flat[:, :coeffs]``
+    of the [N,45] canonical layout, which for degrees < 3 packs
+    [R0..R14, G0..Gk] instead of the degree-packed [R0.., G0.., B0..] the
+    container (and the reference) uses — scrambling G/B on read.  Mean-
+    based checks can't see a channel permutation; per-channel correlation
+    can."""
+    c = make_cloud(3000, sh_degree=deg, seed=11)
+    d = roundtrip("sog", tmp_path, c)
+    idx = match_rows(c.pos, d.pos)
+    dim = {1: 3, 2: 8, 3: 15}[deg]
+    a = np.asarray(c.sh_rest)[:, :, :dim]
+    b = np.asarray(d.sh_rest)[idx][:, :, :dim]
+    for ch in range(3):
+        r = np.corrcoef(a[:, ch, :].ravel(), b[:, ch, :].ravel())[0, 1]
+        assert r > 0.8, (deg, ch, r)
+    assert d.active_sh_degree == deg
