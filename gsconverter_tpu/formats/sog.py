@@ -92,7 +92,15 @@ def _read_webp_flat(zf: zipfile.ZipFile, name: str, expected: int) -> np.ndarray
 
 @jax.jit
 def _encode_fixed(pos, quat, opacity):
-    order = jnp.lexsort((pos[:, 2], pos[:, 1], pos[:, 0]))
+    # Morton order — must match _encode_fixed_host so device- and host-
+    # resident pipelines emit identically-ordered containers
+    mins3 = jnp.min(pos, axis=0)
+    rng3 = jnp.max(pos, axis=0) - mins3
+    t = (pos - mins3) / jnp.where(rng3 > 0, rng3, 1.0)
+    g = (t * 1023.0).astype(jnp.uint32)
+    from ..ops.quant import morton3_u32
+
+    order = jnp.argsort(morton3_u32(g[:, 0], g[:, 1], g[:, 2]), stable=True)
     lp = jnp.sign(pos[order]) * jnp.log(jnp.abs(pos[order]) + 1.0)
     mins = jnp.min(lp, axis=0)
     maxs = jnp.max(lp, axis=0)

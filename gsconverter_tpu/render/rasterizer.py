@@ -23,6 +23,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..cloud import SplatCloud
 from ..ops import sh as sh_ops
@@ -34,21 +35,174 @@ ALPHA_MIN = 1.0 / 255.0
 ALPHA_MAX = 0.99
 
 
+def _block_alpha(g_mean, g_conic, g_alpha, gx, gy):
+    """Per-candidate alpha field over the tile pixels [C,BM,P] (+aux)."""
+    dx = gx[:, None, :] - g_mean[:, :, 0:1]
+    dy = gy[:, None, :] - g_mean[:, :, 1:2]
+    power = -0.5 * (
+        g_conic[:, :, 0:1] * dx * dx
+        + 2.0 * g_conic[:, :, 1:2] * dx * dy
+        + g_conic[:, :, 2:3] * dy * dy
+    )
+    gauss = jnp.exp(jnp.minimum(power, 0.0))
+    raw = g_alpha[:, :, None] * gauss
+    a = jnp.minimum(raw, ALPHA_MAX)
+    a = jnp.where(a < ALPHA_MIN, 0.0, a)
+    return a, raw, gauss, power, dx, dy
+
+
+# chunk-level saturation threshold: once every pixel's transmittance in the
+# chunk is below this, the remaining (deeper) candidates cannot change the
+# image by more than T_EPS — stop.  Bounded truncation error ~80 dB PSNR.
+T_EPS = 1e-4
+
+
+def _composite_fwd_impl(bm, g_mean, g_conic, g_color, g_alpha, gx, gy, bg,
+                        n_valid_max):
+    c_sz, m = g_alpha.shape
+    nb = m // bm
+    # n_valid_max arrives as f32 (custom_vjp cotangents for ints are
+    # float0, which the bwd tuple can't express); floor-div then cast
+    nb_needed = jnp.minimum(((n_valid_max + bm - 1) // bm).astype(jnp.int32),
+                            nb)
+    P = gx.shape[1]
+    resh = lambda x: x.reshape(c_sz, nb, bm, *x.shape[2:]).swapaxes(0, 1)
+    mb_, cb_, colb_, ab_ = (resh(g_mean), resh(g_conic), resh(g_color),
+                            resh(g_alpha))
+    take = lambda x, b: jax.lax.dynamic_index_in_dim(x, b, 0, keepdims=False)
+
+    # while_loop with EARLY TERMINATION: candidates are depth-ordered, so
+    # once the chunk saturates the loop exits — measured ~3x on the 1M
+    # bench scene vs running all m/bm blocks (most tiles saturate within
+    # a fraction of the honest ~1024-candidate budget)
+    def cond(state):
+        b, rgb, trans, t_starts = state
+        return (b < nb_needed) & (jnp.max(trans) > T_EPS)
+
+    def body(state):
+        b, rgb, trans, t_starts = state
+        a, _, _, _, _, _ = _block_alpha(take(mb_, b), take(cb_, b),
+                                        take(ab_, b), gx, gy)
+        tb = jnp.cumprod(1.0 - a, axis=1)
+        t_prev = jnp.concatenate([jnp.ones_like(tb[:, :1]), tb[:, :-1]], axis=1)
+        wgt = a * t_prev * trans[:, None, :]
+        rgb = rgb + jnp.einsum("cmp,cmk->cpk", wgt, take(colb_, b))
+        t_starts = jax.lax.dynamic_update_index_in_dim(
+            t_starts, trans, b, 0)
+        return (b + 1, rgb, trans * tb[:, -1, :], t_starts)
+
+    state = (0, jnp.zeros((c_sz, P, 3)), jnp.ones((c_sz, P)),
+             jnp.zeros((nb, c_sz, P)))
+    n_done, rgb, t_final, t_starts = jax.lax.while_loop(cond, body, state)
+    rgb = rgb + t_final[:, :, None] * bg[None, None, :]
+    return rgb, t_starts, t_final, n_done
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _composite(bm, g_mean, g_conic, g_color, g_alpha, gx, gy, bg,
+               n_valid_max):
+    """Front-to-back alpha compositing of depth-ordered candidates.
+
+    Custom VJP: the autodiff backward of the block scan re-runs the
+    forward under remat AND unrolls the scan adjoint (~3.7x the forward,
+    round-4 profile).  The analytic backward walks the blocks BACK TO
+    FRONT with the per-block entry transmittances saved by the forward —
+    the standard 3DGS reverse-compositing recurrence, but block-exact
+    (no 1/(1-a) transmittance reconstruction, so no drift or underflow
+    when T collapses behind saturated tiles)."""
+    rgb, _, _, _ = _composite_fwd_impl(bm, g_mean, g_conic, g_color, g_alpha,
+                                       gx, gy, bg, n_valid_max)
+    return rgb
+
+
+def _composite_fwd(bm, g_mean, g_conic, g_color, g_alpha, gx, gy, bg,
+                   n_valid_max):
+    rgb, t_starts, t_final, n_done = _composite_fwd_impl(
+        bm, g_mean, g_conic, g_color, g_alpha, gx, gy, bg, n_valid_max)
+    return rgb, (g_mean, g_conic, g_color, g_alpha, gx, gy, bg,
+                 t_starts, t_final, n_done)
+
+
+def _composite_bwd(bm, res, grgb):
+    (g_mean, g_conic, g_color, g_alpha, gx, gy, bg,
+     t_starts, t_final, n_done) = res
+    c_sz, m = g_alpha.shape
+    nb = m // bm
+    resh = lambda x: x.reshape(c_sz, nb, bm, *x.shape[2:]).swapaxes(0, 1)
+    mb_, cb_, colb_, ab_ = (resh(g_mean), resh(g_conic), resh(g_color),
+                            resh(g_alpha))
+    take = lambda x, b: jax.lax.dynamic_index_in_dim(x, b, 0, keepdims=False)
+    put = lambda x, v, b: jax.lax.dynamic_update_index_in_dim(x, v, b, 0)
+
+    def body(state):
+        b, R, dm, dc, dcol, dal = state
+        mb, cb, colb, ab = (take(mb_, b), take(cb_, b), take(colb_, b),
+                            take(ab_, b))
+        t_start = take(t_starts, b)
+        a, raw, gauss, power, dx, dy = _block_alpha(mb, cb, ab, gx, gy)
+        tb = jnp.cumprod(1.0 - a, axis=1)
+        t_prev = jnp.concatenate([jnp.ones_like(tb[:, :1]), tb[:, :-1]], axis=1)
+        T = t_start[:, None, :] * t_prev           # exact forward T_i [C,BM,P]
+        w = a * T
+        cg = jnp.einsum("cpk,cmk->cmp", grgb, colb)  # (gbar . c_i) [C,BM,P]
+        s = cg * w
+        suffix = jnp.sum(s, axis=1, keepdims=True) - jnp.cumsum(s, axis=1)
+        Ri = R[:, None, :] + suffix                # R_i = sum_{j>i} s_j
+        d_a = cg * T - Ri / (1.0 - a)
+        # clamp masks: a = min(alpha*G, 0.99) zeroed below 1/255
+        live = (a >= ALPHA_MIN) & (raw < ALPHA_MAX)
+        d_raw = jnp.where(live, d_a, 0.0)
+        d_alpha = jnp.sum(d_raw * gauss, axis=2)             # [C,BM]
+        d_gauss = d_raw * ab[:, :, None]
+        d_power = jnp.where(power < 0.0, d_gauss * gauss, 0.0)
+        d_c0 = jnp.sum(d_power * (-0.5) * dx * dx, axis=2)
+        d_c1 = jnp.sum(d_power * (-1.0) * dx * dy, axis=2)
+        d_c2 = jnp.sum(d_power * (-0.5) * dy * dy, axis=2)
+        cA, cB, cC = cb[:, :, 0:1], cb[:, :, 1:2], cb[:, :, 2:3]
+        d_mx = jnp.sum(d_power * (cA * dx + cB * dy), axis=2)
+        d_my = jnp.sum(d_power * (cB * dx + cC * dy), axis=2)
+        R = R + jnp.sum(s, axis=1)
+        dm = put(dm, jnp.stack([d_mx, d_my], axis=2), b)
+        dc = put(dc, jnp.stack([d_c0, d_c1, d_c2], axis=2), b)
+        dcol = put(dcol, jnp.einsum("cpk,cmp->cmk", grgb, w), b)
+        dal = put(dal, d_alpha, b)
+        return (b - 1, R, dm, dc, dcol, dal)
+
+    bg_dot = jnp.einsum("cpk,k->cp", grgb, bg)
+    R0 = bg_dot * t_final
+    # back-to-front from the last PROCESSED block; untouched blocks keep
+    # zero grads (their forward contribution was truncated at T < T_EPS)
+    state = (n_done - 1, R0,
+             jnp.zeros((nb, c_sz, bm, 2)), jnp.zeros((nb, c_sz, bm, 3)),
+             jnp.zeros((nb, c_sz, bm, 3)), jnp.zeros((nb, c_sz, bm)))
+    state = jax.lax.while_loop(lambda s: s[0] >= 0, body, state)
+    _, _, dm, dc, dcol, dal = state
+    unresh = lambda x: x.swapaxes(0, 1).reshape(c_sz, m, *x.shape[3:])
+    d_bg = jnp.einsum("cpk,cp->k", grgb, t_final)
+    return (unresh(dm), unresh(dc), unresh(dcol), unresh(dal),
+            jnp.zeros_like(gx), jnp.zeros_like(gy), d_bg,
+            jnp.zeros((), jnp.float32))
+
+
+_composite.defvjp(_composite_fwd, _composite_bwd)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("max_per_tile", "tile_chunk", "sh_degree", "binning",
-                     "max_global", "remat"),
+                     "max_global", "remat", "block_m"),
 )
 def render(
     cloud: SplatCloud,
     cam: Camera,
     bg: jax.Array | None = None,
     max_per_tile: int = 256,
-    tile_chunk: int = 16,
+    tile_chunk: int = 32,
     sh_degree: int | None = None,
     binning: str = "windowed",
     max_global: int = 32,
     remat: bool = True,
+    block_m: int = 32,
 ) -> jax.Array:
     """Render [H,W,3] linear-RGB image. Differentiable w.r.t. all splat params.
 
@@ -81,6 +235,9 @@ def render(
     alpha = jax.nn.sigmoid(cloud.opacity)
 
     # ---- global depth sort (front first) ----
+    # argsort + per-attribute gathers: a variadic sort carrying all 12
+    # attribute columns moves every payload through every merge pass
+    # (measured +400 ms at 1M vs the gathers)
     order = jnp.argsort(jnp.where(proj["in_front"], proj["depth"], jnp.inf))
     means2d = proj["means2d"][order]
     conic = proj["conic"][order]
@@ -101,34 +258,50 @@ def render(
     hi_y = means2d[:, 1] + radius
 
     if binning == "windowed":
-        span = 6  # tiles per axis a windowed splat may cover
-        big = valid & (radius > 2.0 * TILE)  # escape to the global list
+        # span 3: a splat with radius <= TILE overlaps at most 3 tiles per
+        # axis, so 9 key slots suffice.  Larger splats escape to the global
+        # candidate list (exact footprint, no tile truncation).  Round-3
+        # used span 6 / escape at 2*TILE: 36N keys made the key build +
+        # sort ~70% of the 1M-splat forward (round-4 profile) for a
+        # population that is overwhelmingly sub-tile sized.
+        span = 3
+        big = valid & (radius > 1.0 * TILE)  # escape to the global list
         small = valid & ~big
-        radius_c = jnp.minimum(radius, 2.0 * TILE)
+        radius_c = jnp.minimum(radius, 1.0 * TILE)
         tx0i = jnp.clip(jnp.floor((means2d[:, 0] - radius_c) / TILE), 0, tw - 1).astype(jnp.int32)
         tx1i = jnp.clip(jnp.floor((means2d[:, 0] + radius_c) / TILE), 0, tw - 1).astype(jnp.int32)
         ty0i = jnp.clip(jnp.floor((means2d[:, 1] - radius_c) / TILE), 0, th - 1).astype(jnp.int32)
         ty1i = jnp.clip(jnp.floor((means2d[:, 1] + radius_c) / TILE), 0, th - 1).astype(jnp.int32)
         offs = jnp.stack(
             jnp.meshgrid(jnp.arange(span), jnp.arange(span), indexing="ij"), -1
-        ).reshape(-1, 2)  # [36,2] (dy,dx)
+        ).reshape(-1, 2)  # [9,2] (dy,dx)
         txs = tx0i[:, None] + offs[None, :, 1]
         tys = ty0i[:, None] + offs[None, :, 0]
         covered = (
             (txs <= tx1i[:, None]) & (tys <= ty1i[:, None]) & small[:, None]
         )
         tid = jnp.where(covered, tys * tw + txs, n_tiles)  # sentinel = n_tiles
-        flat_tid = tid.reshape(-1)  # depth-major order
-        order2 = jnp.argsort(flat_tid)  # stable: preserves depth order per tile
-        sorted_tid = flat_tid[order2]
-        entry_splat = order2 // (span * span)  # entry -> splat index (depth rank)
+        # ONE variadic stable sort carrying the splat id as payload — the
+        # argsort + gather + divide chain costs two extra full passes over
+        # the key array
+        ids0 = jnp.broadcast_to(
+            jnp.arange(n, dtype=jnp.int32)[:, None], (n, span * span)
+        ).reshape(-1)
+        sorted_tid, entry_splat = jax.lax.sort(
+            (tid.reshape(-1), ids0), num_keys=1, is_stable=True
+        )
         # global candidates: front-most max_global big splats (depth rank
         # ascending); their Gaussian falloff bounds them spatially, the
-        # binning doesn't have to
+        # binning doesn't have to.  Stable sort on the NOT-big flag floats
+        # the bigs to the front in depth order — top_k at k=256 over 1M is
+        # far slower than one u8-keyed sort.
         n_glob = min(max_global, n)
-        score_g = jnp.where(big, -jnp.arange(n, dtype=jnp.float32), -jnp.inf)
-        _, sel_g = jax.lax.top_k(score_g, n_glob)  # ascending depth
-        valid_g = jnp.take(big, sel_g)
+        not_big, sel_all = jax.lax.sort(
+            ((~big).astype(jnp.uint8), jnp.arange(n, dtype=jnp.int32)),
+            num_keys=1, is_stable=True,
+        )
+        sel_g = sel_all[:n_glob]
+        valid_g = not_big[:n_glob] == 0
 
     def select_exact(tile_idx):
         tx0 = x0[tile_idx]  # [C]
@@ -144,7 +317,7 @@ def render(
         score = jnp.where(overlap, -jnp.arange(n, dtype=jnp.float32)[None, :], -jnp.inf)
         _, sel = jax.lax.top_k(score, max_per_tile)  # [C, M] ascending depth
         sel_valid = jnp.take_along_axis(overlap, sel, axis=1)  # [C, M]
-        return sel, sel_valid
+        return sel, sel_valid, jnp.sum(sel_valid, axis=1).astype(jnp.int32)
 
     def select_windowed(tile_idx):
         start = jnp.searchsorted(sorted_tid, tile_idx, side="left")
@@ -162,49 +335,55 @@ def render(
             axis=1,
         )
         ids = jnp.sort(ids, axis=1)
-        return jnp.clip(ids, 0, n - 1), ids < n
+        counts = (jnp.minimum(end - start, max_per_tile)
+                  + jnp.sum(valid_g).astype(jnp.int32))
+        return jnp.clip(ids, 0, n - 1), ids < n, counts
+
+    # depth-block size for the compositing scan: candidates are consumed in
+    # blocks of BM, carrying (rgb accumulator, running transmittance) — the
+    # full [C, M, P] alpha/weight tensors of the round-3 cumprod layout
+    # never materialize in HBM (measured ~1.7x on the compositing stage).
+    # Total scan steps = (tiles/tile_chunk) * (M/BM): keep it in the low
+    # thousands or per-step launch overhead dominates.
+    BM = block_m
 
     def bin_and_render(tile_idx):
         # tile_idx: [C] chunk of tile ids
+        c_sz = tile_idx.shape[0]
         tx0 = x0[tile_idx]  # [C]
         ty0 = y0[tile_idx]
         if binning == "windowed":
-            sel, sel_valid = select_windowed(tile_idx)
+            sel, sel_valid, counts = select_windowed(tile_idx)
         else:
-            sel, sel_valid = select_exact(tile_idx)
+            sel, sel_valid, counts = select_exact(tile_idx)
 
-        g_mean = means2d[sel]  # [C,M,2]
-        g_conic = conic[sel]
-        g_color = color[sel]  # [C,M,3]
-        g_alpha = jnp.where(sel_valid, alpha[sel], 0.0)
+        m = sel.shape[1]
+        nb = -(-m // BM)
+        pad = nb * BM - m
+        if pad:
+            sel = jnp.pad(sel, ((0, 0), (0, pad)))
+            sel_valid = jnp.pad(sel_valid, ((0, 0), (0, pad)))
 
-        # pixel grid for each tile [C, TILE*TILE, 2]
+        # pixel grid for each tile [C, TILE*TILE]
         px = jnp.arange(TILE, dtype=jnp.float32) + 0.5
-        gx = tx0[:, None, None] + px[None, None, :]  # [C,1,T]
-        gy = ty0[:, None, None] + px[None, None, :]
-        gx = jnp.broadcast_to(gx, (tile_idx.shape[0], TILE, TILE)).reshape(-1, TILE * TILE)
+        gx = jnp.broadcast_to(
+            tx0[:, None, None] + px[None, None, :], (c_sz, TILE, TILE)
+        ).reshape(-1, TILE * TILE)
         gy = jnp.broadcast_to(
-            ty0[:, None, None] + px[None, :, None], (tile_idx.shape[0], TILE, TILE)
+            ty0[:, None, None] + px[None, :, None], (c_sz, TILE, TILE)
         ).reshape(-1, TILE * TILE)
 
-        dx = gx[:, None, :] - g_mean[:, :, 0:1]  # [C,M,P]
-        dy = gy[:, None, :] - g_mean[:, :, 1:2]
-        power = -0.5 * (
-            g_conic[:, :, 0:1] * dx * dx
-            + 2.0 * g_conic[:, :, 1:2] * dx * dy
-            + g_conic[:, :, 2:3] * dy * dy
-        )
-        a = jnp.minimum(g_alpha[:, :, None] * jnp.exp(jnp.minimum(power, 0.0)), ALPHA_MAX)
-        a = jnp.where(a < ALPHA_MIN, 0.0, a)  # [C,M,P]
-        # exclusive cumprod of transmittance along depth
-        trans = jnp.cumprod(1.0 - a, axis=1)
-        t_prev = jnp.concatenate(
-            [jnp.ones_like(trans[:, :1, :]), trans[:, :-1, :]], axis=1
-        )
-        wgt = a * t_prev  # [C,M,P]
-        rgb = jnp.einsum("cmp,cmk->cpk", wgt, g_color)  # [C,P,3]
-        t_final = trans[:, -1, :]  # [C,P]
-        rgb = rgb + t_final[:, :, None] * bg[None, None, :]
+        g_mean = means2d[sel]  # [C,M',2]
+        g_conic = conic[sel]
+        g_color = color[sel]
+        g_alpha = jnp.where(sel_valid, alpha[sel], 0.0)
+        # dynamic block bound: valid candidates sort to the front, so the
+        # compositing loop only needs ceil(max_count/BM) blocks — at the
+        # bench scene's mean ~360-of-1024 occupancy that's ~2.5x fewer
+        # blocks than the static budget
+        n_valid_max = jnp.max(counts).astype(jnp.float32)
+        rgb = _composite(BM, g_mean, g_conic, g_color, g_alpha, gx, gy, bg,
+                         n_valid_max)
         return rgb.reshape(-1, TILE, TILE, 3)
 
     chunks = n_tiles // tile_chunk if n_tiles % tile_chunk == 0 else -(-n_tiles // tile_chunk)
@@ -219,6 +398,67 @@ def render(
     tiles = tiles.reshape(-1, TILE, TILE, 3)[:n_tiles]  # [T, 16,16,3]
     img = tiles.reshape(th, tw, TILE, TILE, 3).transpose(0, 2, 1, 3, 4).reshape(h, w, 3)
     return img
+
+
+@jax.jit
+def _tile_occupancy(pos, log_scale, quat, cam: Camera):
+    """Per-tile windowed-candidate counts + big-splat count (jit)."""
+    h, w = cam.height, cam.width
+    tw, th = w // TILE, h // TILE
+    n_tiles = tw * th
+    proj = project_gaussians(pos, log_scale, quat, cam)
+    means2d, radius, valid = proj["means2d"], proj["radius"], proj["in_front"]
+    big = valid & (radius > 1.0 * TILE)
+    small = valid & ~big
+    radius_c = jnp.minimum(radius, 1.0 * TILE)
+    tx0i = jnp.clip(jnp.floor((means2d[:, 0] - radius_c) / TILE), 0, tw - 1).astype(jnp.int32)
+    tx1i = jnp.clip(jnp.floor((means2d[:, 0] + radius_c) / TILE), 0, tw - 1).astype(jnp.int32)
+    ty0i = jnp.clip(jnp.floor((means2d[:, 1] - radius_c) / TILE), 0, th - 1).astype(jnp.int32)
+    ty1i = jnp.clip(jnp.floor((means2d[:, 1] + radius_c) / TILE), 0, th - 1).astype(jnp.int32)
+    offs = jnp.stack(
+        jnp.meshgrid(jnp.arange(3), jnp.arange(3), indexing="ij"), -1
+    ).reshape(-1, 2)
+    txs = tx0i[:, None] + offs[None, :, 1]
+    tys = ty0i[:, None] + offs[None, :, 0]
+    covered = (txs <= tx1i[:, None]) & (tys <= ty1i[:, None]) & small[:, None]
+    tid = jnp.where(covered, tys * tw + txs, n_tiles).reshape(-1)
+    counts = jnp.zeros(n_tiles + 1, jnp.int32).at[jnp.clip(tid, 0, n_tiles)].add(1)
+    return counts[:n_tiles], jnp.sum(big.astype(jnp.int32))
+
+
+def auto_budget(cloud: SplatCloud, cam: Camera, cap: int = 1024,
+                glob_cap: int = 256) -> dict:
+    """Measure the scene's per-tile candidate occupancy and size the
+    static render budgets from it (the per-band treatment the distributed
+    renderer got in round 3, applied to the single-device path).
+
+    Returns a dict with ``max_per_tile`` / ``max_global`` (pow2, capped)
+    plus the saturation report: ``occ_max``, ``occ_mean``, ``n_big``, and
+    ``truncated_tiles`` — the number of tiles whose candidate list the
+    chosen cap still truncates (0 unless ``cap`` binds).
+    """
+    counts, n_big = _tile_occupancy(
+        jnp.asarray(cloud.pos), jnp.asarray(cloud.log_scale),
+        jnp.asarray(cloud.quat), cam,
+    )
+    counts = np.asarray(counts)
+    n_big = int(n_big)
+    occ_max = int(counts.max()) if counts.size else 0
+    m = 32
+    while m < occ_max and m < cap:
+        m *= 2
+    g = 32
+    while g < n_big and g < glob_cap:
+        g *= 2
+    return dict(
+        max_per_tile=m,
+        max_global=g,
+        occ_max=occ_max,
+        occ_mean=float(counts.mean()) if counts.size else 0.0,
+        n_big=n_big,
+        truncated_tiles=int((counts > m).sum()),
+        big_truncated=max(0, n_big - g),
+    )
 
 
 @functools.partial(jax.jit, static_argnames=("sh_degree",))

@@ -164,3 +164,46 @@ def test_windowed_giant_splat_not_truncated():
     # center) must carry the giant's contribution
     assert abs(float(img_w[0, 0, 0]) - float(img_ref[0, 0, 0])) < 2e-2
     assert abs(float(img_w[-1, -1, 1]) - float(img_ref[-1, -1, 1])) < 2e-2
+
+
+def test_auto_budget_sizes_and_reports():
+    """auto_budget (VERDICT r3 item 3): pow2 budgets covering the measured
+    occupancy, zero truncation when uncapped, and an honest saturation
+    report when the cap binds."""
+    from gsconverter_tpu.render.rasterizer import auto_budget
+
+    c, cam = scene(n=600)
+    b = auto_budget(c, cam)
+    assert b["max_per_tile"] >= b["occ_max"] or b["max_per_tile"] == 1024
+    assert b["truncated_tiles"] == 0
+    # force the cap to bind and check it is reported, not hidden
+    b2 = auto_budget(c, cam, cap=32)
+    assert b2["max_per_tile"] == 32
+    if b["occ_max"] > 32:
+        assert b2["truncated_tiles"] > 0
+
+
+def test_windowed_crop_psnr_at_scale():
+    """Scaled-down version of the bench-scene crop check (the real 1M/1080p
+    crop PSNR is measured on hardware by bench.py): a dense random cloud,
+    auto-budgeted windowed binning vs the exact-selection oracle on a crop,
+    >= 35 dB (VERDICT r3 item 3 quality bar)."""
+    from gsconverter_tpu.render.rasterizer import auto_budget
+
+    rr = np.random.default_rng(3)
+    # density matched to the bench scene (~360 candidates/tile mean at
+    # 1M/1080p), scaled to a 4x4-tile viewport
+    n = 6_000
+    c = make_cloud(n, sh_degree=0, seed=3)
+    c = c.replace(
+        pos=jnp.asarray(rr.normal(0, 1.0, (n, 3)).astype(np.float32)),
+        log_scale=jnp.asarray(rr.normal(-5.0, 0.3, (n, 3)).astype(np.float32)),
+        opacity=jnp.asarray(rr.normal(-1, 1, (n,)).astype(np.float32)),
+    )
+    cam = Camera.look_at(eye=(0, 0, 5.0), target=(0, 0, 0), fov_deg=60.0,
+                         width=64, height=64)
+    b = auto_budget(c, cam, cap=4096)
+    img_w = render(c, cam, binning="windowed",
+                   max_per_tile=b["max_per_tile"], max_global=b["max_global"])
+    img_e = render(c, cam, binning="exact", max_per_tile=b["max_per_tile"])
+    assert float(psnr(img_w, img_e)) >= 35.0
