@@ -186,7 +186,12 @@ class Converter:
             # 3. SH capping: min(source_active, requested, format limit)
             pbar.set_description("Processing")
             with self.timer.stage("sh_cap_detect", cloud.n):
-                source_deg = sh.detect_active_degree(cloud)
+                # structural upper bound: the reader sets active_sh_degree
+                # from the source's column count, so higher bands are zero
+                # by construction and the content scan skips them
+                source_deg = sh.detect_active_degree(
+                    cloud, max_degree=cloud.active_sh_degree
+                )
                 target_limit = FORMAT_MAX_SH.get(self.target_format, 3)
                 final_deg = source_deg
                 if opts.sh_level is not None:

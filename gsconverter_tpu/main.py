@@ -97,7 +97,7 @@ def report_info(input_path: str) -> None:
 
         header_deg = cloud.active_sh_degree
         n_coeffs = {0: 0, 1: 9, 2: 24, 3: 45}[header_deg]
-        active_deg = detect_active_degree(cloud)
+        active_deg = detect_active_degree(cloud, max_degree=header_deg)
         header_msg = f"Degree {header_deg} ({n_coeffs} coeffs)" if n_coeffs else "Degree 0 (DC)"
         active_msg = f"Degree {active_deg}"
         if active_deg < header_deg:

@@ -34,7 +34,7 @@ def _active_coeffs_device(rest: jax.Array) -> jax.Array:
     return jnp.any(rest != 0, axis=(0, 1))
 
 
-def detect_active_degree(cloud: SplatCloud) -> int:
+def detect_active_degree(cloud: SplatCloud, max_degree: int | None = None) -> int:
     """Active SH degree from content (last non-zero AC coeff).
 
     Host-returning (concrete int) — used at pipeline staging time, mirroring
@@ -42,13 +42,35 @@ def detect_active_degree(cloud: SplatCloud) -> int:
     numpy; device clouds reduce on device and read back 15 bools — never the
     full [N,3,15] tensor (the round-2 e2e bottleneck: a 180 MB device->host
     pull per conversion at 1M splats).
+
+    ``max_degree``: structural upper bound from the source codec (its
+    column count) — bands above it are zero BY CONSTRUCTION of the
+    canonical [N,3,15] layout, so the scan skips them (at 10M splats the
+    band-3 scan alone is an 840 MB pass, ~0.5 s).  Only pass this for a
+    cloud fresh from a reader; after processing, content is what counts.
     """
-    if isinstance(cloud.sh_rest, np.ndarray):
-        nonzero = np.any(cloud.sh_rest != 0, axis=(0, 1))  # [15]
-    else:
-        nonzero = np.asarray(_active_coeffs_device(cloud.sh_rest))
+    rest = cloud.sh_rest
+    top = 3 if max_degree is None else max(0, min(3, int(max_degree)))
+    if isinstance(rest, np.ndarray):
+        # Only the HIGHEST active band matters, so scan band 3 (coeffs
+        # 8..14), then band 2 (3..7), then band 1 (0..2) — in row chunks
+        # with an early exit on the first nonzero.  A degree-3 source
+        # answers after one ~64k-row chunk (~5 ms at any N) instead of a
+        # full 180 MB pass (~150-200 ms at 1M, ~20% of the e2e pipeline).
+        # The worst case (all-zero sh_rest -> degree 0) still reads every
+        # band once, same as the old single np.any.
+        n = rest.shape[0]
+        chunk = 65536
+        for degree, lo, hi in ((3, 8, 15), (2, 3, 8), (1, 0, 3)):
+            if degree > top:
+                continue
+            for i0 in range(0, n, chunk):
+                if rest[i0:i0 + chunk, :, lo:hi].any():
+                    return degree
+        return 0
+    nonzero = np.asarray(_active_coeffs_device(rest))
     # Per-channel coeff j active for any channel -> degree from j.
-    active = np.nonzero(nonzero)[0]
+    active = np.nonzero(nonzero[:DIM_FOR_DEGREE[top]])[0]
     if active.size == 0:
         return 0
     last = int(active[-1])
