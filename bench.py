@@ -271,8 +271,10 @@ def run(kind, argv):
                              fov_deg=60.0, width=W, height=H)
         budget = auto_budget(cloud, cam)
         print(f"render budget: {budget}", file=sys.stderr, flush=True)
+        # tile_chunk=128: fewer lax.map steps amortize the per-chunk gather
+        # + launch overhead (measured 1.46x vs 32 at 1M/1080p, round 4)
         kw = dict(binning="windowed", max_per_tile=budget["max_per_tile"],
-                  max_global=budget["max_global"], tile_chunk=32, block_m=64)
+                  max_global=budget["max_global"], tile_chunk=128, block_m=64)
         def loss(op):
             img = render(cloud.replace(opacity=op), cam, **kw)
             return jnp.sum(img * img)
@@ -286,20 +288,26 @@ def run(kind, argv):
             t0 = time.perf_counter(); float(jnp.sum(g(cloud.opacity)))
             dt_b = min(dt_b, time.perf_counter() - t0)
         # quality companion: windowed vs exact-selection oracle on one
-        # 64x64 crop of the SAME scene at full N
+        # 64x64 crop of the SAME scene at full N.  The cap must COVER the
+        # saturation-justified need (2*sat_max+32) or the check degrades
+        # into measuring how two different truncations of an uncoverable
+        # candidate list disagree (the round-4 first draft at fov 4 deg /
+        # cap 4096 read 12 dB for exactly that reason; at a covering cap
+        # the same scene reads ~34 dB).
         crop_cam = Camera.look_at(eye=[0, 0, 5.0], target=[0, 0, 0],
-                                  fov_deg=4.0, width=64, height=64)
-        cb = auto_budget(cloud, crop_cam, cap=4096)
+                                  fov_deg=20.0, width=64, height=64)
+        cb = auto_budget(cloud, crop_cam, cap=16384)
         img_w = render(cloud, crop_cam, binning="windowed",
                        max_per_tile=cb["max_per_tile"],
-                       max_global=cb["max_global"])
+                       max_global=cb["max_global"], tile_chunk=16)
         img_e = render(cloud, crop_cam, binning="exact",
-                       max_per_tile=cb["max_per_tile"])
+                       max_per_tile=cb["max_per_tile"], tile_chunk=16)
         crop_psnr = float(psnr(img_w, img_e))
         return {"rate": n / (dt_f + dt_b) / 1e6, "secs": dt_f + dt_b,
                 "fwd_ms": dt_f * 1e3, "bwd_ms": dt_b * 1e3,
                 "crop_psnr_db": round(crop_psnr, 1),
                 "occ_max": budget["occ_max"],
+                "sat_max": budget.get("sat_max"),
                 "truncated_tiles": budget["truncated_tiles"]}
     raise ValueError(f"unknown kind {kind}")
 

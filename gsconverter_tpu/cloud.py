@@ -230,6 +230,10 @@ class SplatCloud:
         """
         if isinstance(self.pos, np.ndarray):
             idx = np.asarray(idx)
+            if idx.dtype == bool:
+                # accept keep-masks too: np.take would silently read rows
+                # 0/1 and the record gather assumes integer indices
+                idx = np.flatnonzero(idx)
             named = {
                 "pos": self.pos, "sh_dc": self.sh_dc,
                 "sh_rest": self.sh_rest, "opacity": self.opacity,

@@ -282,7 +282,7 @@ class KSplatFormat(BaseFormat):
         struct.pack_into("<I", sec, 36, pfb)
         struct.pack_into("<H", sec, 40, sh_degree)
 
-        parts: list[bytes] = []
+        parts: list = []
         if pfb:
             parts.append(struct.pack("<I", n % bucket_size))
 
@@ -360,7 +360,9 @@ class KSplatFormat(BaseFormat):
                 out["sh"] = sh_host.astype(np.float16)
             else:
                 out["sh"] = sh_host
-        parts.append(out.tobytes())
+        # zero-copy buffer write: tobytes() would duplicate the full record
+        # payload (~320 MB at 2.3M splats with SH) before the disk write
+        parts.append(memoryview(out))
 
         with open(path, "wb") as f:
             f.write(header)

@@ -111,5 +111,5 @@ class SplatFormat(BaseFormat):
             out["color"] = to_host(color)
             out["rot"] = to_host(rot)
         with open(path, "wb") as f:
-            f.write(out.tobytes())
+            f.write(memoryview(out))  # zero-copy buffer write
         debug_print(f".splat write completed. {n} splats sorted and packed.")

@@ -25,6 +25,8 @@ host-resident data without a device round trip.
 
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -225,10 +227,16 @@ def unpack_rot_cply(packed):
 
 def pack_rot_sog(quat_wxyz):
     xp = _xp(quat_wxyz)
-    q = normalize_quat(quat_wxyz + 0.0)
+    q = quat_wxyz
+    # argmax on the RAW quat: normalization is a positive per-row scale, so
+    # the component ordering is unchanged — and skipping the divide before
+    # the argmax removes two full [N,4] passes (this is the hottest host
+    # stage of a 3M-splat SOG write).  Flip + normalize + sqrt(2) fuse into
+    # one [N,1] scale and a single [N,4] multiply.
     max_idx = xp.argmax(xp.abs(q), axis=1)
     max_val = xp.take_along_axis(q, max_idx[:, None], axis=1)
-    q = q * xp.sign(max_val) * SQRT2
+    nrm = xp.maximum(xp.linalg.norm(q, axis=-1, keepdims=True), 1e-12)
+    q = q * (xp.where(max_val >= 0, SQRT2, -SQRT2) / nrm)
     # The 3 non-max components in ascending index order: slot s holds
     # component s, shifted past the max index — pure arithmetic instead of
     # a per-row argsort (the argsort was ~2/3 of the host pack cost at 3M).
@@ -330,6 +338,24 @@ def nearest_codebook_index(vals, codebook):
     mid = (codebook[1:] + codebook[:-1]) * 0.5
     # side="right": a value exactly on a midpoint snaps to the RIGHT
     # entry, matching the old refine step's strict-< comparison
+    if isinstance(vals, np.ndarray) and vals.size > 2_000_000:
+        # np.searchsorted releases the GIL and this lookup is ~0.7 s at a
+        # 3M-splat SOG write's 9M values — split it across threads (same
+        # per-element op, so results are bit-identical to the single call)
+        from concurrent.futures import ThreadPoolExecutor
+
+        flat = vals.reshape(-1)
+        out = np.empty(flat.shape[0], np.int32)
+        nw = min(4, os.cpu_count() or 1)
+        step = -(-flat.shape[0] // nw)
+
+        def work(s):
+            e = min(s + step, flat.shape[0])
+            out[s:e] = np.searchsorted(mid, flat[s:e], side="right")
+
+        with ThreadPoolExecutor(nw) as ex:
+            list(ex.map(work, range(0, flat.shape[0], step)))
+        return out.reshape(vals.shape)
     return xp.searchsorted(mid, vals, side="right").astype(jnp.int32)
 
 

@@ -55,6 +55,14 @@ def _block_alpha(g_mean, g_conic, g_alpha, gx, gy):
 # chunk is below this, the remaining (deeper) candidates cannot change the
 # image by more than T_EPS — stop.  Bounded truncation error ~80 dB PSNR.
 T_EPS = 1e-4
+# safety factor on the saturation-depth budget's per-candidate effective
+# alpha (auto_budget): the model uses the MEAN-pixel occlusion
+# alpha * 2*pi*sigma^2 / tile_area (the Gaussian's integrated footprint
+# over the tile), then halves it so unlucky pixels that see less than the
+# mean still saturate before the budget cuts.  A flat coverage factor
+# (round-4 first draft, 0.25 of peak alpha) overestimated occlusion ~20x
+# for pixel-scale splats and cost 25 dB on the zoomed crop check.
+GAMMA_COVER = 0.5
 
 
 def _composite_fwd_impl(bm, g_mean, g_conic, g_color, g_alpha, gx, gy, bg,
@@ -400,14 +408,40 @@ def render(
     return img
 
 
-@jax.jit
-def _tile_occupancy(pos, log_scale, quat, cam: Camera):
-    """Per-tile windowed-candidate counts + big-splat count (jit)."""
+@functools.partial(jax.jit, static_argnames=("saturation",))
+def _tile_occupancy(pos, log_scale, quat, opacity, cam: Camera,
+                    saturation: bool = True):
+    """Per-tile windowed-candidate counts + big-splat count (jit).
+
+    With ``saturation``, also returns a per-tile SATURATION DEPTH: the
+    number of depth-ordered candidates a tile needs before a conservative
+    tile-level transmittance bound falls below T_EPS — candidates behind
+    that point cannot change the image (the compositing loop would skip
+    them anyway; a budget sized to the saturation depth skips their
+    per-chunk gather cost too).  The bound uses each candidate's
+    footprint-integrated mean-pixel occlusion (see GAMMA_COVER), so the
+    depth overestimates the per-pixel reality; the bench's
+    windowed-vs-exact crop PSNR is the measured check.
+    """
     h, w = cam.height, cam.width
     tw, th = w // TILE, h // TILE
     n_tiles = tw * th
     proj = project_gaussians(pos, log_scale, quat, cam)
     means2d, radius, valid = proj["means2d"], proj["radius"], proj["in_front"]
+    if saturation:
+        # mirror the renderer: candidate entries in global depth order, so
+        # a stable tid sort yields per-tile depth-ordered runs
+        order = jnp.argsort(jnp.where(valid, proj["depth"], jnp.inf))
+        means2d, radius, valid = means2d[order], radius[order], valid[order]
+        # per-candidate MEAN-pixel occlusion over the tile: the Gaussian's
+        # integrated footprint is 2*pi*sigma^2 (sigma = radius/3 px), so a
+        # tile pixel sees alpha * 2*pi*(r/3)^2 / TILE^2 on average, halved
+        # by GAMMA_COVER for below-mean pixels; capped at the raw alpha
+        cov = jnp.minimum(
+            1.0,
+            (2.0 * jnp.pi / 9.0) * (radius * radius) / float(TILE * TILE),
+        )
+        alpha_o = jax.nn.sigmoid(opacity)[order] * (GAMMA_COVER * cov)
     big = valid & (radius > 1.0 * TILE)
     small = valid & ~big
     radius_c = jnp.minimum(radius, 1.0 * TILE)
@@ -423,29 +457,71 @@ def _tile_occupancy(pos, log_scale, quat, cam: Camera):
     covered = (txs <= tx1i[:, None]) & (tys <= ty1i[:, None]) & small[:, None]
     tid = jnp.where(covered, tys * tw + txs, n_tiles).reshape(-1)
     counts = jnp.zeros(n_tiles + 1, jnp.int32).at[jnp.clip(tid, 0, n_tiles)].add(1)
-    return counts[:n_tiles], jnp.sum(big.astype(jnp.int32))
+    n_big = jnp.sum(big.astype(jnp.int32))
+    if not saturation:
+        return counts[:n_tiles], n_big, counts[:n_tiles]
+    # ---- per-tile saturation depth ----
+    n = means2d.shape[0]
+    a_ent = jnp.broadcast_to(alpha_o[:, None], (n, 9)).reshape(-1)
+    sorted_tid, a_sorted = jax.lax.sort(
+        (tid, a_ent), num_keys=1, is_stable=True
+    )
+    real = sorted_tid < n_tiles
+    l = jnp.where(real, jnp.log1p(-GAMMA_COVER * jnp.minimum(a_sorted, 0.99)),
+                  0.0)
+    ecs = jnp.cumsum(l) - l  # exclusive global prefix
+    # per-tile segment base WITHOUT a 9N scan (an associative_scan here
+    # never returned from the remote TPU compiler): sorted_tid is
+    # ascending, so each tile's first entry index is one searchsorted over
+    # the small tile-id range, and the base broadcasts back by tid gather
+    first_idx = jnp.searchsorted(sorted_tid, jnp.arange(n_tiles))
+    bases = ecs[jnp.clip(first_idx, 0, sorted_tid.shape[0] - 1)]
+    pre = ecs - bases[jnp.clip(sorted_tid, 0, n_tiles - 1)]
+    # log-transmittance bound BEFORE this entry
+    contributing = real & (pre > jnp.log(T_EPS))
+    k_sat = jnp.zeros(n_tiles + 1, jnp.int32).at[
+        jnp.clip(sorted_tid, 0, n_tiles)
+    ].add(contributing.astype(jnp.int32))
+    return counts[:n_tiles], n_big, k_sat[:n_tiles]
 
 
 def auto_budget(cloud: SplatCloud, cam: Camera, cap: int = 1024,
-                glob_cap: int = 256) -> dict:
+                glob_cap: int = 256, saturation: bool = True) -> dict:
     """Measure the scene's per-tile candidate occupancy and size the
     static render budgets from it (the per-band treatment the distributed
     renderer got in round 3, applied to the single-device path).
 
+    With ``saturation`` (default), each tile's NEEDED budget is capped at
+    2x its measured depth-to-saturation + 32: candidates deeper than the
+    point where the tile's conservative transmittance bound collapses are
+    invisible (< T_EPS contribution), so paying their gather cost buys
+    nothing.  The compositing loop's own early exit makes the same cut on
+    compute; this makes the same cut on the per-chunk gathers.  Quality is
+    measured, not assumed — bench.py renders a windowed-vs-exact crop PSNR
+    at full scale under the chosen budget.
+
     Returns a dict with ``max_per_tile`` / ``max_global`` (pow2, capped)
-    plus the saturation report: ``occ_max``, ``occ_mean``, ``n_big``, and
-    ``truncated_tiles`` — the number of tiles whose candidate list the
-    chosen cap still truncates (0 unless ``cap`` binds).
+    plus the report: ``occ_max``, ``occ_mean``, ``n_big``, ``sat_max``
+    (largest per-tile saturation depth), and ``truncated_tiles`` — tiles
+    whose candidate list the chosen budget truncates BEYOND the
+    saturation-justified point (0 unless ``cap`` binds).
     """
-    counts, n_big = _tile_occupancy(
+    counts, n_big, k_sat = _tile_occupancy(
         jnp.asarray(cloud.pos), jnp.asarray(cloud.log_scale),
-        jnp.asarray(cloud.quat), cam,
+        jnp.asarray(cloud.quat), jnp.asarray(cloud.opacity), cam,
+        saturation=saturation,
     )
     counts = np.asarray(counts)
+    k_sat = np.asarray(k_sat)
     n_big = int(n_big)
     occ_max = int(counts.max()) if counts.size else 0
+    if saturation:
+        needed = np.minimum(counts, 2 * k_sat + 32)
+    else:
+        needed = counts
+    need_max = int(needed.max()) if needed.size else 0
     m = 32
-    while m < occ_max and m < cap:
+    while m < need_max and m < cap:
         m *= 2
     g = 32
     while g < n_big and g < glob_cap:
@@ -456,7 +532,8 @@ def auto_budget(cloud: SplatCloud, cam: Camera, cap: int = 1024,
         occ_max=occ_max,
         occ_mean=float(counts.mean()) if counts.size else 0.0,
         n_big=n_big,
-        truncated_tiles=int((counts > m).sum()),
+        sat_max=int(k_sat.max()) if saturation and k_sat.size else None,
+        truncated_tiles=int((needed > m).sum()),
         big_truncated=max(0, n_big - g),
     )
 

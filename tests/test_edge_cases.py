@@ -198,3 +198,30 @@ def test_ply_big_endian_read(tmp_path):
                                arr["x"].astype("<f4"), rtol=1e-7)
     np.testing.assert_allclose(cloud.opacity,
                                arr["opacity"].astype("<f4"), rtol=1e-7)
+
+
+def test_select_accepts_boolean_mask():
+    """Host select() with a keep-mask must equal index-array select
+    (np.take would silently read rows 0/1 from a bool array, and the
+    shared-record gather assumes integer indices)."""
+    r = np.random.default_rng(3)
+    n = 1000
+    from gsconverter_tpu.cloud import SplatCloud
+
+    c = SplatCloud(
+        pos=r.normal(size=(n, 3)).astype(np.float32),
+        sh_dc=r.normal(size=(n, 3)).astype(np.float32),
+        sh_rest=r.normal(size=(n, 3, 15)).astype(np.float32),
+        opacity=r.normal(size=n).astype(np.float32),
+        log_scale=r.normal(size=(n, 3)).astype(np.float32),
+        quat=r.normal(size=(n, 4)).astype(np.float32),
+        normal=np.zeros((n, 3), np.float32),
+        active_sh_degree=3,
+    )
+    mask = r.random(n) < 0.3
+    a = c.select(mask)
+    b = c.select(np.flatnonzero(mask))
+    assert a.n == int(mask.sum())
+    np.testing.assert_array_equal(a.pos, b.pos)
+    np.testing.assert_array_equal(a.sh_rest, b.sh_rest)
+    np.testing.assert_array_equal(a.opacity, b.opacity)

@@ -173,13 +173,21 @@ def test_auto_budget_sizes_and_reports():
     from gsconverter_tpu.render.rasterizer import auto_budget
 
     c, cam = scene(n=600)
+    # occupancy-only sizing (saturation off): budget covers the raw counts
+    b0 = auto_budget(c, cam, saturation=False)
+    assert b0["max_per_tile"] >= b0["occ_max"] or b0["max_per_tile"] == 1024
+    assert b0["truncated_tiles"] == 0
+    # saturation-aware sizing (default): per-tile need is capped at
+    # 2*saturation_depth+32, so the budget may sit below occ_max — but
+    # nothing saturation-justified may be cut silently
     b = auto_budget(c, cam)
-    assert b["max_per_tile"] >= b["occ_max"] or b["max_per_tile"] == 1024
+    assert b["max_per_tile"] <= b0["max_per_tile"]
+    assert b["sat_max"] is not None and b["sat_max"] >= 0
     assert b["truncated_tiles"] == 0
     # force the cap to bind and check it is reported, not hidden
-    b2 = auto_budget(c, cam, cap=32)
+    b2 = auto_budget(c, cam, cap=32, saturation=False)
     assert b2["max_per_tile"] == 32
-    if b["occ_max"] > 32:
+    if b0["occ_max"] > 32:
         assert b2["truncated_tiles"] > 0
 
 
