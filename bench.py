@@ -53,10 +53,24 @@ def log(*a):
 
 
 _WORKER = r"""
-import sys, time, json
+import sys, time, json, tempfile as _tempfile
 from gsconverter_tpu.utils.cache import enable_compilation_cache
 enable_compilation_cache()
 import numpy as np, jax, jax.numpy as jnp
+
+# Workload scratch dirs are deleted after each RESULT: the 10M e2e leaves
+# ~3.5 GB of scene + output files whose page-cache residency measurably
+# slows the host-CPU-bound workloads that follow (SOG level 1 read 21 s
+# in the round-4 bench vs ~10 s uncontended).
+_TDIRS = []
+
+
+class tempfile:  # shadows the stdlib name used by the workload bodies
+    @staticmethod
+    def mkdtemp():
+        d = _tempfile.mkdtemp()
+        _TDIRS.append(d)
+        return d
 
 # NOTE: on this environment's axon tunnel, block_until_ready returns before
 # the device work is done — a host-side scalar readback is the only reliable
@@ -127,7 +141,7 @@ def run(kind, argv):
     if kind == "e2e":
         # BASELINE config 2: read -> bbox + min_opacity + SOR + density ->
         # write (ply -> splat and ply -> ksplat), full-pipeline Msplats/s
-        import os, tempfile
+        import os
         from gsconverter_tpu.converter import convert
         n = int(argv[0])
         d = tempfile.mkdtemp()
@@ -155,7 +169,7 @@ def run(kind, argv):
         return {"rate": 2 * n / best / 1e6, "secs": best}
     if kind == "sog":
         # BASELINE config 3: SOG K-Means codebook compression
-        import os, tempfile
+        import os
         from gsconverter_tpu.converter import convert
         n, level = int(argv[0]), int(argv[1])
         d = tempfile.mkdtemp()
@@ -174,7 +188,7 @@ def run(kind, argv):
     if kind == "roundtrip":
         # BASELINE config 1: 100k-splat PLY -> 3dgs PLY roundtrip with
         # --sor_intensity 8
-        import os, tempfile
+        import os
         from gsconverter_tpu.converter import convert
         n = int(argv[0])
         d = tempfile.mkdtemp()
@@ -193,7 +207,7 @@ def run(kind, argv):
         # The reference implementation's OWN pipeline on the same scene
         # and filters (CPU fallbacks; plyfile via the test shim) — the
         # baseline our e2e / roundtrip numbers are measured against.
-        import os, tempfile, importlib.util
+        import os, importlib.util
         spec = importlib.util.spec_from_file_location(
             "plyfile_shim", os.path.join("tests", "plyfile_shim.py"))
         shim = importlib.util.module_from_spec(spec)
@@ -228,7 +242,7 @@ def run(kind, argv):
         return {"rate": 2 * n / (d1 + d2) / 1e6, "secs": d1 + d2}
     if kind == "batch":
         # BASELINE config 5 (single-chip slice): multi-scene N-to-N matrix
-        import os, tempfile
+        import os
         from gsconverter_tpu.batch import convert_batch
         n_scenes, n = int(argv[0]), int(argv[1])
         d = tempfile.mkdtemp()
@@ -322,6 +336,9 @@ for line in sys.stdin:
     except Exception as e:
         print("RESULT " + json.dumps(
             {"error": f"{type(e).__name__}: {e}"[:300]}), flush=True)
+    import shutil
+    while _TDIRS:
+        shutil.rmtree(_TDIRS.pop(), ignore_errors=True)
 """
 
 
@@ -478,6 +495,19 @@ def main():
         e2e_1m = w.run("e2e", [1_000_000], timeout=min(480, remaining()))
     extra["e2e_1m_filters_msplats"] = rate_of(e2e_1m)
 
+    # SOG runs BEFORE the 10M e2e: its host stages are CPU/page-cache
+    # sensitive and measured ~2x slower right after the 10M workload's
+    # multi-GB file churn (round-4 notes in PERFORMANCE.md).
+    for key, kind, argv, need in (
+        ("sog_3m_l1_msplats", "sog", [3_000_000, 1], 150),
+        ("sog_3m_l10_msplats", "sog", [3_000_000, 10], 150),
+    ):
+        extra[key] = None
+        if remaining() > need:
+            extra[key] = rate_of(w.run(kind, argv, timeout=remaining()))
+        else:
+            log(f"skipping {key} (budget {remaining():.0f}s)")
+
     # 10M only if the 1M rate predicts the timed part fits comfortably.
     extra["e2e_10m_filters_msplats"] = None
     if e2e_1m and remaining() > 120 + 22 * e2e_1m["secs"]:
@@ -491,8 +521,6 @@ def main():
         ("roundtrip_100k_sor8_msplats", "roundtrip", [100_000], 60),
         ("roundtrip_100k_ref_msplats", "roundtrip_ref", [100_000], 60),
         ("e2e_1m_reference_cpu_msplats", "e2e_ref", [1_000_000], 180),
-        ("sog_3m_l1_msplats", "sog", [3_000_000, 1], 150),
-        ("sog_3m_l10_msplats", "sog", [3_000_000, 10], 150),
         ("batch_4x200k_x3fmt_msplats", "batch", [4, 200_000], 120),
         ("render_1m_1080p_msplats", "render", [1_000_000, 1088, 1920], 90),
     ):
