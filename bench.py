@@ -53,7 +53,7 @@ def log(*a):
 
 
 _WORKER = r"""
-import sys, time, json, tempfile as _tempfile
+import sys, time, json, tempfile
 from gsconverter_tpu.utils.cache import enable_compilation_cache
 enable_compilation_cache()
 import numpy as np, jax, jax.numpy as jnp
@@ -65,12 +65,10 @@ import numpy as np, jax, jax.numpy as jnp
 _TDIRS = []
 
 
-class tempfile:  # shadows the stdlib name used by the workload bodies
-    @staticmethod
-    def mkdtemp():
-        d = _tempfile.mkdtemp()
-        _TDIRS.append(d)
-        return d
+def scratch_dir():
+    d = tempfile.mkdtemp()
+    _TDIRS.append(d)
+    return d
 
 # NOTE: on this environment's axon tunnel, block_until_ready returns before
 # the device work is done — a host-side scalar readback is the only reliable
@@ -144,7 +142,7 @@ def run(kind, argv):
         import os
         from gsconverter_tpu.converter import convert
         n = int(argv[0])
-        d = tempfile.mkdtemp()
+        d = scratch_dir()
         src = os.path.join(d, "scene.ply")
         t0 = time.perf_counter()
         mint_scene(src, n)
@@ -172,7 +170,7 @@ def run(kind, argv):
         import os
         from gsconverter_tpu.converter import convert
         n, level = int(argv[0]), int(argv[1])
-        d = tempfile.mkdtemp()
+        d = scratch_dir()
         src = os.path.join(d, "scene.ply")
         mint_scene(src, n, flyers=0.0)
         convert(src, os.path.join(d, "warm.sog"), "sog",
@@ -191,7 +189,7 @@ def run(kind, argv):
         import os
         from gsconverter_tpu.converter import convert
         n = int(argv[0])
-        d = tempfile.mkdtemp()
+        d = scratch_dir()
         src = os.path.join(d, "scene.ply")
         mint_scene(src, n)
         kw = dict(sor_intensity=8, force=True)
@@ -216,7 +214,7 @@ def run(kind, argv):
         sys.path.insert(0, "/root/reference")
         from gsconverter.converter import Converter as RefConverter
         n = int(argv[0])
-        d = tempfile.mkdtemp()
+        d = scratch_dir()
         src = os.path.join(d, "scene.ply")
         mint_scene(src, n)
         if kind == "roundtrip_ref":
@@ -245,7 +243,7 @@ def run(kind, argv):
         import os
         from gsconverter_tpu.batch import convert_batch
         n_scenes, n = int(argv[0]), int(argv[1])
-        d = tempfile.mkdtemp()
+        d = scratch_dir()
         for i in range(n_scenes):
             mint_scene(os.path.join(d, f"s{i}.ply"), n, seed=i)
         fmts = ["splat", "spz", "ksplat"]
@@ -320,9 +318,13 @@ def run(kind, argv):
         return {"rate": n / (dt_f + dt_b) / 1e6, "secs": dt_f + dt_b,
                 "fwd_ms": dt_f * 1e3, "bwd_ms": dt_b * 1e3,
                 "crop_psnr_db": round(crop_psnr, 1),
+                "max_per_tile": budget["max_per_tile"],
+                "max_global": budget["max_global"],
                 "occ_max": budget["occ_max"],
+                "n_big": budget["n_big"],
                 "sat_max": budget.get("sat_max"),
-                "truncated_tiles": budget["truncated_tiles"]}
+                "truncated_tiles": budget["truncated_tiles"],
+                "big_truncated": budget["big_truncated"]}
     raise ValueError(f"unknown kind {kind}")
 
 for line in sys.stdin:
@@ -447,24 +449,44 @@ def bench_reference_cpu(n=200_000):
     return sor_rate, km_rate
 
 
-def emit(combined: float, vs, extra: dict):
-    print(json.dumps({
+def emit(combined: float, vs, extra: dict, detail: dict | None = None):
+    line = {
         "metric": "sor_kmeans_msplats_per_chip",
         "value": round(float(combined), 2),
         "unit": "Msplats/s",
         "vs_baseline": vs,
         "extra": extra,
-    }), flush=True)
+    }
+    if detail is not None:
+        # full per-workload result dicts (secs, fwd/bwd split, crop PSNR,
+        # truncation counts, conversion counts) — `extra` keeps the one
+        # float per workload for longitudinal comparison, `extra_detail`
+        # keeps everything the workload measured (VERDICT r4 item 2)
+        line["extra_detail"] = detail
+    print(json.dumps(line), flush=True)
 
 
 def remaining() -> float:
     return EXTRAS_BUDGET - (time.monotonic() - T0)
 
 
+def _round_vals(r: dict) -> dict:
+    return {k: (round(v, 3) if isinstance(v, float) else v)
+            for k, v in r.items()}
+
+
 def main():
     w = Worker()
-    sor = w.run("sor", [N_SOR], timeout=900)
-    km = w.run("kmeans", [N_KM, D_KM, K_KM], timeout=600)
+    detail: dict = {}
+
+    def run_rec(key, kind, argv, timeout):
+        r = w.run(kind, argv, timeout=timeout)
+        if r:
+            detail[key] = _round_vals(r)
+        return r
+
+    sor = run_rec("sor", "sor", [N_SOR], timeout=900)
+    km = run_rec("kmeans", "kmeans", [N_KM, D_KM, K_KM], timeout=600)
     sor_rate, km_rate = rate_of(sor), rate_of(km)
 
     vs = None
@@ -486,13 +508,14 @@ def main():
 
     # HEADLINE FIRST: the round's record exists from this point on.
     extra = {"sor_msplats": sor_rate, "kmeans_msplat_iters": km_rate}
-    emit(combined, vs, extra)
+    emit(combined, vs, extra, detail)
 
     # Budgeted extras (BASELINE configs 2, 3, 4, 5); a timeout or fault
     # restarts the worker and only loses that workload.
     e2e_1m = None
     if remaining() > 120:
-        e2e_1m = w.run("e2e", [1_000_000], timeout=min(480, remaining()))
+        e2e_1m = run_rec("e2e_1m_filters_msplats", "e2e", [1_000_000],
+                         timeout=min(480, remaining()))
     extra["e2e_1m_filters_msplats"] = rate_of(e2e_1m)
 
     # SOG runs BEFORE the 10M e2e: its host stages are CPU/page-cache
@@ -504,7 +527,7 @@ def main():
     ):
         extra[key] = None
         if remaining() > need:
-            extra[key] = rate_of(w.run(kind, argv, timeout=remaining()))
+            extra[key] = rate_of(run_rec(key, kind, argv, timeout=remaining()))
         else:
             log(f"skipping {key} (budget {remaining():.0f}s)")
 
@@ -512,7 +535,8 @@ def main():
     extra["e2e_10m_filters_msplats"] = None
     if e2e_1m and remaining() > 120 + 22 * e2e_1m["secs"]:
         extra["e2e_10m_filters_msplats"] = rate_of(
-            w.run("e2e", [10_000_000], timeout=remaining())
+            run_rec("e2e_10m_filters_msplats", "e2e", [10_000_000],
+                    timeout=remaining())
         )
     else:
         log(f"skipping 10M e2e (budget {remaining():.0f}s)")
@@ -526,13 +550,13 @@ def main():
     ):
         extra[key] = None
         if remaining() > need:
-            extra[key] = rate_of(w.run(kind, argv, timeout=remaining()))
+            extra[key] = rate_of(run_rec(key, kind, argv, timeout=remaining()))
         else:
             log(f"skipping {key} (budget {remaining():.0f}s)")
 
     w.kill()
     # Final superseding line with extras filled in.
-    emit(combined, vs, extra)
+    emit(combined, vs, extra, detail)
 
 
 if __name__ == "__main__":

@@ -65,6 +65,22 @@ def degree_for_coeffs(n_coeffs: int) -> int:
     return 0
 
 
+def covering_degree_for_dim(dim: int) -> int:
+    """Smallest SH degree whose per-channel width COVERS ``dim`` coefficients.
+
+    Rounds UP where ``degree_for_coeffs`` floors: a non-standard f_rest
+    count (e.g. 30 columns -> 10 per-channel coeffs, straddling bands 2/3)
+    must map to a degree whose layout holds every populated coefficient,
+    or degree-sized writers silently drop the overhang.  The content scan
+    (ops/sh.detect_active_degree) later refines the degree DOWN from this
+    structural upper bound; it can never recover an under-estimate.
+    """
+    for deg in (0, 1, 2, 3):
+        if DIM_FOR_DEGREE[deg] >= dim:
+            return deg
+    return 3
+
+
 def degree_for_last_active(last_idx: int) -> int:
     """Last non-zero f_rest index -> active degree (reference converter.py:143-146)."""
     if last_idx >= 24:

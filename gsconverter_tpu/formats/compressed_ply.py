@@ -19,7 +19,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..cloud import SH_C0, SplatCloud, degree_for_coeffs
+from ..cloud import SH_C0, SplatCloud, covering_degree_for_dim
 from ..ops import quant
 from ..utils import ply
 from ..utils.log import debug_print, status_print
@@ -175,7 +175,10 @@ class CompressedPlyFormat(BaseFormat):
             flat = np.stack([sh_el[f] for f in names], axis=1).astype(np.float32)
             flat = (flat / 256.0 - 0.5) * 8.0
             sh_rest = SplatCloud.sh_rest_from_flat(flat)
-            sh_deg = degree_for_coeffs(len(names))
+            # covering degree (rounds UP): non-standard column counts fill
+            # len(names)//3 per-channel coeffs; a floor degree would let
+            # degree-sized writers drop the band overhang (see cloud.py)
+            sh_deg = covering_degree_for_dim(len(names) // 3)
         self.metadata = dict(count=n, sh_degree=sh_deg, chunks=len(chunks))
 
         return SplatCloud(

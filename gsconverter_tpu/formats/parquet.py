@@ -11,7 +11,7 @@ from __future__ import annotations
 
 import numpy as np
 
-from ..cloud import SplatCloud, degree_for_coeffs
+from ..cloud import SplatCloud, covering_degree_for_dim
 from ..utils.log import debug_print, status_print
 from .base import BaseFormat, register
 
@@ -42,13 +42,13 @@ class ParquetFormat(BaseFormat):
         opacity = col("alpha")
 
         sh_rest = np.zeros((n, 3, 15), np.float32)
-        n_cols = 0
+        max_dim = 0
         for c, ch in enumerate("rgb"):
             for j in range(1, 16):
                 name = f"{ch}_sh{j}"
                 if name in df.columns:
                     sh_rest[:, c, j - 1] = df[name].values
-                    n_cols += 1
+                    max_dim = max(max_dim, j)
 
         rgb = None
         if "red" in df.columns:
@@ -61,7 +61,10 @@ class ParquetFormat(BaseFormat):
             log_scale=log_scale, quat=quat,
             normal=normal,
             rgb=rgb,
-            active_sh_degree=degree_for_coeffs(n_cols),
+            # covering degree from the HIGHEST filled coeff index (rounds
+            # UP): sparse/non-standard column sets must not floor-degree
+            # away populated bands (see cloud.covering_degree_for_dim)
+            active_sh_degree=covering_degree_for_dim(max_dim),
         )
 
     def write(self, cloud: SplatCloud, path: str, **kwargs) -> None:

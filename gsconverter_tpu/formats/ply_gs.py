@@ -20,7 +20,7 @@ from __future__ import annotations
 
 import numpy as np
 
-from ..cloud import MAX_SH_DIM, SplatCloud, degree_for_coeffs
+from ..cloud import MAX_SH_DIM, SplatCloud, covering_degree_for_dim
 from ..utils import ply
 from ..utils.log import debug_print, status_print
 from .base import BaseFormat, register
@@ -160,9 +160,11 @@ def cloud_from_vertex_array(
         sh_rest = flat.reshape(n, 3, 15)
     else:
         sh_rest = np.zeros((n, 3, 15), np.float32)
-        if n_rest:
-            dim = n_rest // 3
-            flat = group([f"f_rest_{i}" for i in range(n_rest)])
+        dim = n_rest // 3
+        if dim:
+            # non-multiple-of-3 counts: the trailing 1-2 columns cannot
+            # form a complete per-channel coefficient; drop them
+            flat = group([f"f_rest_{i}" for i in range(3 * dim)])
             sh_rest[:, :, :dim] = flat.reshape(n, 3, dim)
 
     opacity = col("opacity")
@@ -199,7 +201,11 @@ def cloud_from_vertex_array(
         normal=normal,
         rgb=rgb,
         extras=extras,
-        active_sh_degree=degree_for_coeffs(n_rest),
+        # COVERING degree (rounds UP): a non-standard f_rest count (e.g. 30
+        # columns -> coeffs 8-9 of band 3 populated) must not be tagged with
+        # a floor degree, or detect_active_degree's structural-bound fast
+        # path skips the populated band and degree-sized writers drop it
+        active_sh_degree=covering_degree_for_dim(n_rest // 3),
         extra_elements=extra_elements,
     )
 

@@ -225,3 +225,39 @@ def test_select_accepts_boolean_mask():
     np.testing.assert_array_equal(a.pos, b.pos)
     np.testing.assert_array_equal(a.sh_rest, b.sh_rest)
     np.testing.assert_array_equal(a.opacity, b.opacity)
+
+
+def test_nonstandard_f_rest_count_covering_degree(tmp_path):
+    """A 30-column f_rest PLY (10 per-channel coeffs, straddling bands 2/3)
+    must read with a COVERING degree so the populated band-3 coefficients
+    (indices 8-9) survive degree-sized processing (ADVICE r4: the floor
+    degree let detect_active_degree's structural bound skip band 3)."""
+    n = 4
+    names = (["x", "y", "z"] + [f"f_dc_{i}" for i in range(3)]
+             + [f"f_rest_{i}" for i in range(30)]
+             + ["opacity", "scale_0", "scale_1", "scale_2",
+                "rot_0", "rot_1", "rot_2", "rot_3"])
+    path = str(tmp_path / "deg30.ply")
+    with open(path, "w") as f:
+        f.write("ply\nformat ascii 1.0\nelement vertex %d\n" % n)
+        f.writelines(f"property float {nm}\n" for nm in names)
+        f.write("end_header\n")
+        for i in range(n):
+            row = np.zeros(len(names), np.float32)
+            row[0:3] = [i, i, i]
+            # channel-major flat layout: R coeffs 0..9 at cols 6..15 —
+            # coeffs 8,9 are band 3
+            row[6 + 8] = 0.25
+            row[6 + 9] = 0.5
+            row[36 + 4] = 1.0  # rot_0 (w)
+            f.write(" ".join(f"{v:g}" for v in row) + "\n")
+    c = get_handler("3dgs").read(path)
+    assert c.active_sh_degree == 3  # covering, not floor(30 cols)=2
+    np.testing.assert_allclose(np.asarray(c.sh_rest)[:, 0, 8], 0.25)
+    from gsconverter_tpu.ops import sh
+    assert sh.detect_active_degree(c, max_degree=c.active_sh_degree) == 3
+    # end-to-end: converting to full PLY keeps the band-3 content
+    out = str(tmp_path / "out.ply")
+    convert(path, out, "3dgs", force=True)
+    d = get_handler("3dgs").read(out)
+    np.testing.assert_allclose(np.asarray(d.sh_rest)[:, 0, 9], 0.5)
