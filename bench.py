@@ -185,7 +185,10 @@ def run(kind, argv):
         return {"rate": n / dt / 1e6, "secs": dt}
     if kind == "roundtrip":
         # BASELINE config 1: 100k-splat PLY -> 3dgs PLY roundtrip with
-        # --sor_intensity 8
+        # --sor_intensity 8.  Best-of-5 with the full distribution
+        # recorded (VERDICT r4 item 4: the r4 number regressed on a
+        # 2-sample min; 100k is the fixed-overhead regime where single
+        # tunnel-dispatch jitter spikes dominate the measurement).
         import os
         from gsconverter_tpu.converter import convert
         n = int(argv[0])
@@ -195,12 +198,13 @@ def run(kind, argv):
         kw = dict(sor_intensity=8, force=True)
         convert(src, os.path.join(d, "warm.ply"), "3dgs", **kw)
         dts = []
-        for tag in ("t1", "t2"):
+        for tag in ("t1", "t2", "t3", "t4", "t5"):
             t0 = time.perf_counter()
             convert(src, os.path.join(d, f"{tag}.ply"), "3dgs", **kw)
             dts.append(time.perf_counter() - t0)
         dt = min(dts)
-        return {"rate": n / dt / 1e6, "secs": dt}
+        return {"rate": n / dt / 1e6, "secs": dt,
+                "runs_s": [round(x, 3) for x in dts]}
     if kind in ("e2e_ref", "roundtrip_ref"):
         # The reference implementation's OWN pipeline on the same scene
         # and filters (CPU fallbacks; plyfile via the test shim) — the
@@ -281,12 +285,19 @@ def run(kind, argv):
         )
         cam = Camera.look_at(eye=[0, 0, 5.0], target=[0, 0, 0],
                              fov_deg=60.0, width=W, height=H)
-        budget = auto_budget(cloud, cam)
-        print(f"render budget: {budget}", file=sys.stderr, flush=True)
-        # tile_chunk=128: fewer lax.map steps amortize the per-chunk gather
-        # + launch overhead (measured 1.46x vs 32 at 1M/1080p, round 4)
-        kw = dict(binning="windowed", max_per_tile=budget["max_per_tile"],
-                  max_global=budget["max_global"], tile_chunk=128, block_m=64)
+        budget = auto_budget(cloud, cam, band_chunk=128)
+        report = {k: v for k, v in budget.items()
+                  if k not in ("tile_order", "band_plan")}
+        print(f"render budget: {report}", file=sys.stderr, flush=True)
+        print(f"render bands: {budget['band_plan']}", file=sys.stderr,
+              flush=True)
+        # occupancy-banded scheduling (round 5): tiles grouped by measured
+        # need, each band with its own pow2 budget; tile_chunk=128 within a
+        # band amortizes the per-chunk gather + launch overhead
+        torder = jnp.asarray(budget["tile_order"])
+        kw = dict(binning="windowed", max_global=budget["max_global"],
+                  tile_chunk=128, block_m=64, tile_order=torder,
+                  band_plan=budget["band_plan"])
         def loss(op):
             img = render(cloud.replace(opacity=op), cam, **kw)
             return jnp.sum(img * img)
@@ -318,7 +329,7 @@ def run(kind, argv):
         return {"rate": n / (dt_f + dt_b) / 1e6, "secs": dt_f + dt_b,
                 "fwd_ms": dt_f * 1e3, "bwd_ms": dt_b * 1e3,
                 "crop_psnr_db": round(crop_psnr, 1),
-                "max_per_tile": budget["max_per_tile"],
+                "band_plan": [list(p) for p in budget["band_plan"]],
                 "max_global": budget["max_global"],
                 "occ_max": budget["occ_max"],
                 "n_big": budget["n_big"],

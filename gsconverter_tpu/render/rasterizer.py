@@ -57,12 +57,68 @@ def _block_alpha(g_mean, g_conic, g_alpha, gx, gy):
 T_EPS = 1e-4
 # safety factor on the saturation-depth budget's per-candidate effective
 # alpha (auto_budget): the model uses the MEAN-pixel occlusion
-# alpha * 2*pi*sigma^2 / tile_area (the Gaussian's integrated footprint
-# over the tile), then halves it so unlucky pixels that see less than the
-# mean still saturate before the budget cuts.  A flat coverage factor
-# (round-4 first draft, 0.25 of peak alpha) overestimated occlusion ~20x
-# for pixel-scale splats and cost 25 dB on the zoomed crop check.
+# alpha * footprint_integral / covered_pixels (the Gaussian's integrated
+# footprint 2*pi*sigma^2 spread over the tiles it covers), then halves it
+# — applied exactly ONCE (round-4 applied it in both the per-entry alpha
+# and the log-transmittance term, making the effective factor 0.25) — so
+# unlucky pixels that see less than the mean still saturate before the
+# budget cuts.  A flat coverage factor (round-4 first draft, 0.25 of peak
+# alpha) overestimated occlusion ~20x for pixel-scale splats and cost
+# 25 dB on the zoomed crop check.
 GAMMA_COVER = 0.5
+
+# Binning tiers (windowed path).  A splat's tile span is ceil-bounded by
+# its radius: radius <= TILE covers at most 3 tiles/axis, radius <=
+# 3*TILE at most 7.  Smalls (the overwhelming majority) pay 9 key slots;
+# mids are first COMPACTED to a fixed capacity (they are rare — ~0.1% of
+# the 1M bench scene) and pay 49 slots only on that compact set; only
+# radius > 3*TILE giants (plus mid-capacity overflow) escape to the
+# global per-tile merged list.  Round 4 escaped everything > 1 tile to a
+# 256-cap global list and truncated 1082 of 1338 such splats on the bench
+# scene — the crop-PSNR ceiling.
+R_SMALL_MAX = 1.0 * TILE
+R_MID_MAX = 3.0 * TILE
+SPAN_SMALL = 3
+SPAN_MID = 7
+
+
+def _tile_cover(means2d, radius, active, tw, th, span):
+    """Covered-tile ids for each splat over a span x span window.
+
+    Returns (tid [N, span*span] with sentinel tw*th on uncovered slots,
+    n_cov [N] covered-tile counts).  ``active`` masks splats out entirely.
+    """
+    n_tiles = tw * th
+    tx0i = jnp.clip(jnp.floor((means2d[:, 0] - radius) / TILE), 0, tw - 1).astype(jnp.int32)
+    tx1i = jnp.clip(jnp.floor((means2d[:, 0] + radius) / TILE), 0, tw - 1).astype(jnp.int32)
+    ty0i = jnp.clip(jnp.floor((means2d[:, 1] - radius) / TILE), 0, th - 1).astype(jnp.int32)
+    ty1i = jnp.clip(jnp.floor((means2d[:, 1] + radius) / TILE), 0, th - 1).astype(jnp.int32)
+    offs = jnp.stack(
+        jnp.meshgrid(jnp.arange(span), jnp.arange(span), indexing="ij"), -1
+    ).reshape(-1, 2)  # [span^2, 2] (dy, dx)
+    txs = tx0i[:, None] + offs[None, :, 1]
+    tys = ty0i[:, None] + offs[None, :, 0]
+    covered = (
+        (txs <= tx1i[:, None]) & (tys <= ty1i[:, None]) & active[:, None]
+    )
+    tid = jnp.where(covered, tys * tw + txs, n_tiles)
+    n_cov = (tx1i - tx0i + 1) * (ty1i - ty0i + 1)
+    return tid, n_cov
+
+
+def _classify(radius, valid, max_mid):
+    """Split depth-ordered splats into small / retained-mid / global tiers.
+
+    Returns (small, keep_mid, glob) boolean masks.  ``glob`` = true giants
+    (radius > R_MID_MAX) plus mids beyond the ``max_mid`` compaction
+    capacity (depth-ordered, so the retained mids are the front-most)."""
+    small = valid & (radius <= R_SMALL_MAX)
+    mid = valid & (radius > R_SMALL_MAX) & (radius <= R_MID_MAX)
+    giant = valid & (radius > R_MID_MAX)
+    mid_rank = jnp.cumsum(mid.astype(jnp.int32)) - 1
+    keep_mid = mid & (mid_rank < max_mid)
+    glob = giant | (mid & ~keep_mid)
+    return small, keep_mid, glob
 
 
 def _composite_fwd_impl(bm, g_mean, g_conic, g_color, g_alpha, gx, gy, bg,
@@ -198,7 +254,8 @@ _composite.defvjp(_composite_fwd, _composite_bwd)
 @functools.partial(
     jax.jit,
     static_argnames=("max_per_tile", "tile_chunk", "sh_degree", "binning",
-                     "max_global", "remat", "block_m"),
+                     "max_global", "remat", "block_m", "max_mid",
+                     "band_plan"),
 )
 def render(
     cloud: SplatCloud,
@@ -211,20 +268,33 @@ def render(
     max_global: int = 32,
     remat: bool = True,
     block_m: int = 32,
+    max_mid: int = 16384,
+    tile_order: jax.Array | None = None,
+    band_plan: tuple | None = None,
 ) -> jax.Array:
     """Render [H,W,3] linear-RGB image. Differentiable w.r.t. all splat params.
 
-    binning="windowed": production path (default) — each splat emits keys for
-                        up to 36 covered tiles, one stable sort groups keys
-                        by tile in depth order, per-tile candidate windows
-                        are fixed [max_per_tile] slices.  O(36N log N)
-                        instead of O(tiles*N).  Splats wider than 2 tiles
-                        escape to a global candidate list (front-most
-                        ``max_global`` by depth) merged into every tile's
-                        window, so near-camera giants keep their full
-                        footprint instead of being truncated at 6x6 tiles.
+    binning="windowed": production path (default) — tiered key binning:
+                        splats with radius <= 1 tile emit 9 key slots,
+                        radius <= 3 tiles are compacted to ``max_mid`` and
+                        emit 49 slots, one stable sort groups all keys by
+                        tile in depth order, per-tile candidate windows are
+                        fixed [max_per_tile] slices.  Only radius > 3-tile
+                        giants (and mid-capacity overflow) escape to a
+                        global candidate list (front-most ``max_global`` by
+                        depth) merged into every tile's window, so
+                        near-camera giants keep their full footprint.
     binning="exact":    per-tile overlap over ALL splats (O(tiles*N) select) —
                         the verification oracle path.
+
+    ``tile_order`` + ``band_plan`` (from :func:`auto_budget` /
+    :func:`plan_bands`) switch on occupancy-banded scheduling: tiles are
+    processed grouped by their measured candidate need, each band with its
+    own (pow2) budget, so sparse tiles stop paying the densest tile's
+    gather + compositing cost.  ``band_plan`` is a static tuple of
+    ``(n_chunks, budget)`` per band; ``tile_order`` the matching
+    concatenation of per-band tile ids, each band padded to a multiple of
+    ``tile_chunk`` with the sentinel ``n_tiles``.
     """
     h, w = cam.height, cam.width
     assert h % TILE == 0 and w % TILE == 0, "image dims must be multiples of 16"
@@ -266,50 +336,58 @@ def render(
     hi_y = means2d[:, 1] + radius
 
     if binning == "windowed":
-        # span 3: a splat with radius <= TILE overlaps at most 3 tiles per
-        # axis, so 9 key slots suffice.  Larger splats escape to the global
-        # candidate list (exact footprint, no tile truncation).  Round-3
-        # used span 6 / escape at 2*TILE: 36N keys made the key build +
-        # sort ~70% of the 1M-splat forward (round-4 profile) for a
-        # population that is overwhelmingly sub-tile sized.
-        span = 3
-        big = valid & (radius > 1.0 * TILE)  # escape to the global list
-        small = valid & ~big
-        radius_c = jnp.minimum(radius, 1.0 * TILE)
-        tx0i = jnp.clip(jnp.floor((means2d[:, 0] - radius_c) / TILE), 0, tw - 1).astype(jnp.int32)
-        tx1i = jnp.clip(jnp.floor((means2d[:, 0] + radius_c) / TILE), 0, tw - 1).astype(jnp.int32)
-        ty0i = jnp.clip(jnp.floor((means2d[:, 1] - radius_c) / TILE), 0, th - 1).astype(jnp.int32)
-        ty1i = jnp.clip(jnp.floor((means2d[:, 1] + radius_c) / TILE), 0, th - 1).astype(jnp.int32)
-        offs = jnp.stack(
-            jnp.meshgrid(jnp.arange(span), jnp.arange(span), indexing="ij"), -1
-        ).reshape(-1, 2)  # [9,2] (dy,dx)
-        txs = tx0i[:, None] + offs[None, :, 1]
-        tys = ty0i[:, None] + offs[None, :, 0]
-        covered = (
-            (txs <= tx1i[:, None]) & (tys <= ty1i[:, None]) & small[:, None]
+        # Tiered binning (see R_SMALL_MAX/R_MID_MAX notes): smalls emit 9
+        # key slots each, retained mids emit 49 slots over a COMPACTED
+        # [max_mid] array, giants + mid-overflow escape to the global list.
+        # Round-3 used span 6 / escape at 2*TILE: 36N keys made the key
+        # build + sort ~70% of the 1M-splat forward for a population that
+        # is overwhelmingly sub-tile sized; round-4's span-3 + global
+        # escape truncated multi-tile splats (1082 of 1338 on the bench
+        # scene).  The compacted mid tier keeps 9N+49*max_mid keys while
+        # giving every <=3-tile splat its exact footprint.
+        small, keep_mid, glob = _classify(radius, valid, max_mid)
+        m_mid = min(max_mid, n)
+        # ONE stable 2-bit-category sort: globals first (depth order), then
+        # retained mids (depth order) — ids ARE depth ranks.  top_k at
+        # k=256 over 1M is far slower than one u8-keyed sort.
+        cat = jnp.where(
+            glob, jnp.uint8(0), jnp.where(keep_mid, jnp.uint8(1), jnp.uint8(2))
         )
-        tid = jnp.where(covered, tys * tw + txs, n_tiles)  # sentinel = n_tiles
+        cat_s, ids_cat = jax.lax.sort(
+            (cat, jnp.arange(n, dtype=jnp.int32)), num_keys=1, is_stable=True
+        )
+        n_glob = min(max_global, n)
+        sel_g = ids_cat[:n_glob]
+        valid_g = cat_s[:n_glob] == 0
+        # retained mids start right after the globals: dynamic_slice from a
+        # sentinel-padded copy (start can never clamp), masked by count
+        n_globc = jnp.sum(glob.astype(jnp.int32))
+        n_midc = jnp.sum(keep_mid.astype(jnp.int32))
+        ids_pad = jnp.concatenate([ids_cat, jnp.zeros(m_mid, jnp.int32)])
+        sel_mid = jax.lax.dynamic_slice(ids_pad, (n_globc,), (m_mid,))
+        mid_valid = jnp.arange(m_mid) < n_midc
+
+        tid_s, _ = _tile_cover(means2d, jnp.minimum(radius, R_SMALL_MAX),
+                               small, tw, th, SPAN_SMALL)
+        tid_m, _ = _tile_cover(means2d[sel_mid], radius[sel_mid], mid_valid,
+                               tw, th, SPAN_MID)
+        ids_s = jnp.broadcast_to(
+            jnp.arange(n, dtype=jnp.int32)[:, None],
+            (n, SPAN_SMALL * SPAN_SMALL),
+        ).reshape(-1)
+        ids_m = jnp.broadcast_to(
+            sel_mid[:, None], (m_mid, SPAN_MID * SPAN_MID)
+        ).reshape(-1)
         # ONE variadic stable sort carrying the splat id as payload — the
         # argsort + gather + divide chain costs two extra full passes over
-        # the key array
-        ids0 = jnp.broadcast_to(
-            jnp.arange(n, dtype=jnp.int32)[:, None], (n, span * span)
-        ).reshape(-1)
+        # the key array.  Entries are (smalls in depth order, mids in depth
+        # order); per-tile depth order is restored by select_windowed's id
+        # sort (ids are depth ranks).
         sorted_tid, entry_splat = jax.lax.sort(
-            (tid.reshape(-1), ids0), num_keys=1, is_stable=True
-        )
-        # global candidates: front-most max_global big splats (depth rank
-        # ascending); their Gaussian falloff bounds them spatially, the
-        # binning doesn't have to.  Stable sort on the NOT-big flag floats
-        # the bigs to the front in depth order — top_k at k=256 over 1M is
-        # far slower than one u8-keyed sort.
-        n_glob = min(max_global, n)
-        not_big, sel_all = jax.lax.sort(
-            ((~big).astype(jnp.uint8), jnp.arange(n, dtype=jnp.int32)),
+            (jnp.concatenate([tid_s.reshape(-1), tid_m.reshape(-1)]),
+             jnp.concatenate([ids_s, ids_m])),
             num_keys=1, is_stable=True,
         )
-        sel_g = sel_all[:n_glob]
-        valid_g = not_big[:n_glob] == 0
 
     def select_exact(tile_idx):
         tx0 = x0[tile_idx]  # [C]
@@ -327,10 +405,10 @@ def render(
         sel_valid = jnp.take_along_axis(overlap, sel, axis=1)  # [C, M]
         return sel, sel_valid, jnp.sum(sel_valid, axis=1).astype(jnp.int32)
 
-    def select_windowed(tile_idx):
+    def select_windowed(tile_idx, budget):
         start = jnp.searchsorted(sorted_tid, tile_idx, side="left")
         end = jnp.searchsorted(sorted_tid, tile_idx, side="right")
-        idx = start[:, None] + jnp.arange(max_per_tile)[None, :]
+        idx = start[:, None] + jnp.arange(budget)[None, :]
         w_valid = idx < end[:, None]
         idx = jnp.clip(idx, 0, sorted_tid.shape[0] - 1)
         # merge the global (big-splat) candidates in depth order: candidate
@@ -343,7 +421,7 @@ def render(
             axis=1,
         )
         ids = jnp.sort(ids, axis=1)
-        counts = (jnp.minimum(end - start, max_per_tile)
+        counts = (jnp.minimum(end - start, budget)
                   + jnp.sum(valid_g).astype(jnp.int32))
         return jnp.clip(ids, 0, n - 1), ids < n, counts
 
@@ -355,13 +433,13 @@ def render(
     # thousands or per-step launch overhead dominates.
     BM = block_m
 
-    def bin_and_render(tile_idx):
+    def bin_and_render(tile_idx, budget=max_per_tile):
         # tile_idx: [C] chunk of tile ids
         c_sz = tile_idx.shape[0]
         tx0 = x0[tile_idx]  # [C]
         ty0 = y0[tile_idx]
         if binning == "windowed":
-            sel, sel_valid, counts = select_windowed(tile_idx)
+            sel, sel_valid, counts = select_windowed(tile_idx, budget)
         else:
             sel, sel_valid, counts = select_exact(tile_idx)
 
@@ -394,24 +472,44 @@ def render(
                          n_valid_max)
         return rgb.reshape(-1, TILE, TILE, 3)
 
-    chunks = n_tiles // tile_chunk if n_tiles % tile_chunk == 0 else -(-n_tiles // tile_chunk)
-    pad_tiles = chunks * tile_chunk - n_tiles
-    tile_ids = jnp.concatenate([jnp.arange(n_tiles), jnp.zeros(pad_tiles, jnp.int32)])
     # remat the per-chunk body: free in forward-only evaluation, and the
     # backward re-renders each tile chunk instead of saving its [C,M,P]
     # weight tensors — without it the 1M-splat 1080p gradient program is
     # large enough to crash the TPU compiler
-    body = jax.checkpoint(bin_and_render) if remat else bin_and_render
-    tiles = jax.lax.map(body, tile_ids.reshape(chunks, tile_chunk))
-    tiles = tiles.reshape(-1, TILE, TILE, 3)[:n_tiles]  # [T, 16,16,3]
+    if band_plan is not None:
+        if binning != "windowed" or tile_order is None:
+            raise ValueError("band_plan requires windowed binning + tile_order")
+        out = jnp.zeros((n_tiles + 1, TILE, TILE, 3))
+        off = 0
+        for nc, mb in band_plan:
+            ids_b = tile_order[off : off + nc * tile_chunk]
+            off += nc * tile_chunk
+            safe = jnp.minimum(ids_b, n_tiles - 1)  # sentinel pads render tile
+            body = functools.partial(bin_and_render, budget=min(mb, n))
+            body = jax.checkpoint(body) if remat else body
+            tiles_b = jax.lax.map(body, safe.reshape(nc, tile_chunk))
+            # pad entries (id == n_tiles) land in the dropped extra row
+            out = out.at[ids_b].set(tiles_b.reshape(-1, TILE, TILE, 3))
+        tiles = out[:n_tiles]
+    else:
+        chunks = n_tiles // tile_chunk if n_tiles % tile_chunk == 0 else -(-n_tiles // tile_chunk)
+        pad_tiles = chunks * tile_chunk - n_tiles
+        tile_ids = jnp.concatenate([jnp.arange(n_tiles), jnp.zeros(pad_tiles, jnp.int32)])
+        body = jax.checkpoint(bin_and_render) if remat else bin_and_render
+        tiles = jax.lax.map(body, tile_ids.reshape(chunks, tile_chunk))
+        tiles = tiles.reshape(-1, TILE, TILE, 3)[:n_tiles]  # [T, 16,16,3]
     img = tiles.reshape(th, tw, TILE, TILE, 3).transpose(0, 2, 1, 3, 4).reshape(h, w, 3)
     return img
 
 
-@functools.partial(jax.jit, static_argnames=("saturation",))
+@functools.partial(jax.jit, static_argnames=("saturation", "max_mid"))
 def _tile_occupancy(pos, log_scale, quat, opacity, cam: Camera,
-                    saturation: bool = True):
-    """Per-tile windowed-candidate counts + big-splat count (jit).
+                    saturation: bool = True, max_mid: int = 16384):
+    """Per-tile windowed-candidate counts + global-escape count (jit).
+
+    Mirrors the renderer's tiered binning exactly: smalls over span-3,
+    compacted mids over span-7, giants + mid-capacity overflow to the
+    global list (the returned ``n_glob``).
 
     With ``saturation``, also returns a per-tile SATURATION DEPTH: the
     number of depth-ordered candidates a tile needs before a conservative
@@ -419,52 +517,76 @@ def _tile_occupancy(pos, log_scale, quat, opacity, cam: Camera,
     that point cannot change the image (the compositing loop would skip
     them anyway; a budget sized to the saturation depth skips their
     per-chunk gather cost too).  The bound uses each candidate's
-    footprint-integrated mean-pixel occlusion (see GAMMA_COVER), so the
-    depth overestimates the per-pixel reality; the bench's
-    windowed-vs-exact crop PSNR is the measured check.
+    footprint-integrated mean-pixel occlusion spread over its covered
+    tiles (see GAMMA_COVER), so the depth overestimates the per-pixel
+    reality; the bench's windowed-vs-exact crop PSNR is the measured
+    check.
     """
     h, w = cam.height, cam.width
     tw, th = w // TILE, h // TILE
     n_tiles = tw * th
     proj = project_gaussians(pos, log_scale, quat, cam)
     means2d, radius, valid = proj["means2d"], proj["radius"], proj["in_front"]
-    if saturation:
-        # mirror the renderer: candidate entries in global depth order, so
-        # a stable tid sort yields per-tile depth-ordered runs
-        order = jnp.argsort(jnp.where(valid, proj["depth"], jnp.inf))
-        means2d, radius, valid = means2d[order], radius[order], valid[order]
-        # per-candidate MEAN-pixel occlusion over the tile: the Gaussian's
-        # integrated footprint is 2*pi*sigma^2 (sigma = radius/3 px), so a
-        # tile pixel sees alpha * 2*pi*(r/3)^2 / TILE^2 on average, halved
-        # by GAMMA_COVER for below-mean pixels; capped at the raw alpha
-        cov = jnp.minimum(
-            1.0,
-            (2.0 * jnp.pi / 9.0) * (radius * radius) / float(TILE * TILE),
-        )
-        alpha_o = jax.nn.sigmoid(opacity)[order] * (GAMMA_COVER * cov)
-    big = valid & (radius > 1.0 * TILE)
-    small = valid & ~big
-    radius_c = jnp.minimum(radius, 1.0 * TILE)
-    tx0i = jnp.clip(jnp.floor((means2d[:, 0] - radius_c) / TILE), 0, tw - 1).astype(jnp.int32)
-    tx1i = jnp.clip(jnp.floor((means2d[:, 0] + radius_c) / TILE), 0, tw - 1).astype(jnp.int32)
-    ty0i = jnp.clip(jnp.floor((means2d[:, 1] - radius_c) / TILE), 0, th - 1).astype(jnp.int32)
-    ty1i = jnp.clip(jnp.floor((means2d[:, 1] + radius_c) / TILE), 0, th - 1).astype(jnp.int32)
-    offs = jnp.stack(
-        jnp.meshgrid(jnp.arange(3), jnp.arange(3), indexing="ij"), -1
-    ).reshape(-1, 2)
-    txs = tx0i[:, None] + offs[None, :, 1]
-    tys = ty0i[:, None] + offs[None, :, 0]
-    covered = (txs <= tx1i[:, None]) & (tys <= ty1i[:, None]) & small[:, None]
-    tid = jnp.where(covered, tys * tw + txs, n_tiles).reshape(-1)
-    counts = jnp.zeros(n_tiles + 1, jnp.int32).at[jnp.clip(tid, 0, n_tiles)].add(1)
-    n_big = jnp.sum(big.astype(jnp.int32))
-    if not saturation:
-        return counts[:n_tiles], n_big, counts[:n_tiles]
-    # ---- per-tile saturation depth ----
+    # mirror the renderer: depth-sorted arrays, splat ids = depth ranks
+    order = jnp.argsort(jnp.where(valid, proj["depth"], jnp.inf))
+    means2d, radius, valid = means2d[order], radius[order], valid[order]
     n = means2d.shape[0]
-    a_ent = jnp.broadcast_to(alpha_o[:, None], (n, 9)).reshape(-1)
-    sorted_tid, a_sorted = jax.lax.sort(
-        (tid, a_ent), num_keys=1, is_stable=True
+    m_mid = min(max_mid, n)
+    small, keep_mid, glob = _classify(radius, valid, m_mid)
+    n_globc = jnp.sum(glob.astype(jnp.int32))
+    n_midc = jnp.sum(keep_mid.astype(jnp.int32))
+    cat = jnp.where(
+        glob, jnp.uint8(0), jnp.where(keep_mid, jnp.uint8(1), jnp.uint8(2))
+    )
+    _, ids_cat = jax.lax.sort(
+        (cat, jnp.arange(n, dtype=jnp.int32)), num_keys=1, is_stable=True
+    )
+    ids_pad = jnp.concatenate([ids_cat, jnp.zeros(m_mid, jnp.int32)])
+    sel_mid = jax.lax.dynamic_slice(ids_pad, (n_globc,), (m_mid,))
+    mid_valid = jnp.arange(m_mid) < n_midc
+
+    tid_s, ncov_s = _tile_cover(means2d, jnp.minimum(radius, R_SMALL_MAX),
+                                small, tw, th, SPAN_SMALL)
+    tid_m, ncov_m = _tile_cover(means2d[sel_mid], radius[sel_mid], mid_valid,
+                                tw, th, SPAN_MID)
+    tid_all = jnp.concatenate([tid_s.reshape(-1), tid_m.reshape(-1)])
+    counts = jnp.zeros(n_tiles + 1, jnp.int32).at[
+        jnp.clip(tid_all, 0, n_tiles)
+    ].add(1)
+    if not saturation:
+        return counts[:n_tiles], n_globc, counts[:n_tiles]
+    # ---- per-tile saturation depth ----
+    # per-entry MEAN-pixel occlusion: the Gaussian's integrated footprint
+    # 2*pi*sigma^2 (sigma = radius/3 px) spread over the n_cov tiles the
+    # splat covers (advisor r4: depositing the FULL integral into every
+    # covered tile overestimated multi-tile occlusion), capped at 1.
+    # GAMMA_COVER is applied exactly once, in the log term below.
+    alpha = jax.nn.sigmoid(opacity)[order]
+
+    def occl(rad, ncov):
+        return jnp.minimum(
+            1.0,
+            (2.0 * jnp.pi / 9.0) * rad * rad
+            / (float(TILE * TILE) * jnp.maximum(ncov, 1)),
+        )
+
+    a_s = alpha * occl(jnp.minimum(radius, R_SMALL_MAX), ncov_s)
+    a_m = alpha[sel_mid] * occl(radius[sel_mid], ncov_m)
+    a_ent = jnp.concatenate([
+        jnp.broadcast_to(a_s[:, None], (n, SPAN_SMALL * SPAN_SMALL)).reshape(-1),
+        jnp.broadcast_to(a_m[:, None], (m_mid, SPAN_MID * SPAN_MID)).reshape(-1),
+    ])
+    ids_ent = jnp.concatenate([
+        jnp.broadcast_to(
+            jnp.arange(n, dtype=jnp.int32)[:, None], (n, SPAN_SMALL * SPAN_SMALL)
+        ).reshape(-1),
+        jnp.broadcast_to(sel_mid[:, None], (m_mid, SPAN_MID * SPAN_MID)).reshape(-1),
+    ])
+    # 2-key sort (tile, depth rank): the mid entries are appended after
+    # the smalls, so a 1-key stable tid sort would NOT be depth-ordered
+    # within a tile — the saturation prefix needs front-to-back order
+    sorted_tid, _, a_sorted = jax.lax.sort(
+        (tid_all, ids_ent, a_ent), num_keys=2, is_stable=True
     )
     real = sorted_tid < n_tiles
     l = jnp.where(real, jnp.log1p(-GAMMA_COVER * jnp.minimum(a_sorted, 0.99)),
@@ -482,11 +604,45 @@ def _tile_occupancy(pos, log_scale, quat, opacity, cam: Camera,
     k_sat = jnp.zeros(n_tiles + 1, jnp.int32).at[
         jnp.clip(sorted_tid, 0, n_tiles)
     ].add(contributing.astype(jnp.int32))
-    return counts[:n_tiles], n_big, k_sat[:n_tiles]
+    return counts[:n_tiles], n_globc, k_sat[:n_tiles]
+
+
+def plan_bands(needed: np.ndarray, tile_chunk: int = 64, cap: int = 1024,
+               min_budget: int = 32) -> tuple[np.ndarray, tuple]:
+    """Host-side occupancy banding for :func:`render`.
+
+    Groups tiles by the pow2-rounded budget each NEEDS (from
+    :func:`auto_budget`'s per-tile ``needed`` counts), densest band first,
+    tiles within a band ordered by descending need so each ``tile_chunk``
+    is occupancy-homogeneous (the compositing loop's dynamic block bound
+    is a chunk max — homogeneous chunks stop sparse tiles from paying the
+    densest tile's block count).  Each band is padded to a multiple of
+    ``tile_chunk`` with the sentinel ``n_tiles``.
+
+    Returns ``(tile_order int32 [sum bands], band_plan)`` where
+    ``band_plan`` is a static tuple of ``(n_chunks, budget)``.
+    """
+    needed = np.asarray(needed)
+    n_tiles = needed.shape[0]
+    clipped = np.minimum(np.maximum(needed.astype(np.int64), 1), cap)
+    budg = np.maximum(
+        min_budget, 1 << np.ceil(np.log2(clipped)).astype(np.int64)
+    )
+    budg = np.minimum(budg, cap)
+    order_all = np.argsort(-needed, kind="stable")
+    parts, plan = [], []
+    for bv in sorted(set(budg.tolist()), reverse=True):
+        ids = order_all[budg[order_all] == bv]
+        pad = (-len(ids)) % tile_chunk
+        ids = np.concatenate([ids, np.full(pad, n_tiles, dtype=np.int64)])
+        parts.append(ids)
+        plan.append((len(ids) // tile_chunk, int(bv)))
+    return np.concatenate(parts).astype(np.int32), tuple(plan)
 
 
 def auto_budget(cloud: SplatCloud, cam: Camera, cap: int = 1024,
-                glob_cap: int = 256, saturation: bool = True) -> dict:
+                glob_cap: int = 256, saturation: bool = True,
+                max_mid: int = 16384, band_chunk: int | None = None) -> dict:
     """Measure the scene's per-tile candidate occupancy and size the
     static render budgets from it (the per-band treatment the distributed
     renderer got in round 3, applied to the single-device path).
@@ -501,15 +657,18 @@ def auto_budget(cloud: SplatCloud, cam: Camera, cap: int = 1024,
     at full scale under the chosen budget.
 
     Returns a dict with ``max_per_tile`` / ``max_global`` (pow2, capped)
-    plus the report: ``occ_max``, ``occ_mean``, ``n_big``, ``sat_max``
-    (largest per-tile saturation depth), and ``truncated_tiles`` — tiles
-    whose candidate list the chosen budget truncates BEYOND the
-    saturation-justified point (0 unless ``cap`` binds).
+    plus the report: ``occ_max``, ``occ_mean``, ``n_big`` (the
+    global-escape population: radius > 3-tile giants + mid-capacity
+    overflow), ``sat_max`` (largest per-tile saturation depth), and
+    ``truncated_tiles`` — tiles whose candidate list the chosen budget
+    truncates BEYOND the saturation-justified point (0 unless ``cap``
+    binds).  With ``band_chunk`` set, also returns ``tile_order`` /
+    ``band_plan`` from :func:`plan_bands` for occupancy-banded rendering.
     """
     counts, n_big, k_sat = _tile_occupancy(
         jnp.asarray(cloud.pos), jnp.asarray(cloud.log_scale),
         jnp.asarray(cloud.quat), jnp.asarray(cloud.opacity), cam,
-        saturation=saturation,
+        saturation=saturation, max_mid=max_mid,
     )
     counts = np.asarray(counts)
     k_sat = np.asarray(k_sat)
@@ -526,7 +685,7 @@ def auto_budget(cloud: SplatCloud, cam: Camera, cap: int = 1024,
     g = 32
     while g < n_big and g < glob_cap:
         g *= 2
-    return dict(
+    out = dict(
         max_per_tile=m,
         max_global=g,
         occ_max=occ_max,
@@ -536,6 +695,11 @@ def auto_budget(cloud: SplatCloud, cam: Camera, cap: int = 1024,
         truncated_tiles=int((needed > m).sum()),
         big_truncated=max(0, n_big - g),
     )
+    if band_chunk is not None:
+        out["tile_order"], out["band_plan"] = plan_bands(
+            needed, tile_chunk=band_chunk, cap=cap
+        )
+    return out
 
 
 @functools.partial(jax.jit, static_argnames=("sh_degree",))

@@ -100,6 +100,40 @@ def test_sharded_ply_read(tmp_path):
     assert shard_bounds(10, 0, 4) == (0, 3) and shard_bounds(10, 3, 4) == (8, 10)
 
 
+def test_strided_ply_write_matches_single_host(tmp_path):
+    """Multi-host strided PLY write (VERDICT r4 item 6): H simulated hosts
+    each seek-write ONLY their shard's record range into one file; the
+    result is byte-identical to the single-host write.  No host ever holds
+    more than its own shard."""
+    from gsconverter_tpu.formats import get_handler
+    from gsconverter_tpu.parallel.io import (read_ply_sharded, shard_bounds,
+                                             write_ply_strided)
+
+    n, hosts = 1003, 3
+    c = make_cloud(n, sh_degree=3)
+    single = str(tmp_path / "single.ply")
+    get_handler("3dgs").write(c, single)
+
+    strided = str(tmp_path / "strided.ply")
+    # out-of-order host arrival: shard 2 writes before shard 0's header
+    for shard in (2, 0, 1):
+        lo, hi = shard_bounds(n, shard, hosts)
+        local = c.select(np.arange(lo, hi))
+        write_ply_strided(local, strided, shard, hosts, n)
+    with open(single, "rb") as a, open(strided, "rb") as b:
+        assert a.read() == b.read()
+
+    # roundtrip through the sharded reader for good measure
+    parts = [read_ply_sharded(strided, s, hosts) for s in range(hosts)]
+    pos = np.concatenate([np.asarray(p.pos) for p in parts])
+    np.testing.assert_allclose(pos, np.asarray(c.pos), atol=0)
+
+    # mismatched shard row count is rejected, not silently misplaced
+    import pytest
+    with pytest.raises(ValueError):
+        write_ply_strided(c.select(np.arange(5)), strided, 0, hosts, n)
+
+
 def test_tile_sharded_render_matches_single():
     from gsconverter_tpu.parallel.distributed import sharded_render_tiles
     from gsconverter_tpu.parallel.sharding import pad_cloud

@@ -191,6 +191,94 @@ def test_auto_budget_sizes_and_reports():
         assert b2["truncated_tiles"] > 0
 
 
+def structured_scene(n=100_000, seed=7):
+    """Depth-stratified clusters + a wall of near-camera giants — the
+    adversarial occupancy profile for windowed binning (VERDICT r4 item 7):
+    dense far clusters stress per-tile budgets, mid-size (1-3 tile) splats
+    stress the compacted span-7 tier, true giants stress the global escape."""
+    rr = np.random.default_rng(seed)
+    n_giant, n_mid = 40, 1_500
+    n_bg = n - n_giant - n_mid
+    # four depth-stratified clusters of pixel-scale splats
+    centers = np.array([[0, 0, 0], [0.8, 0.4, 1.5], [-0.6, -0.3, 3.0],
+                        [0.2, -0.6, 4.5]], np.float32)
+    pos_bg = (centers[rr.integers(0, 4, n_bg)]
+              + rr.normal(0, 0.5, (n_bg, 3))).astype(np.float32)
+    ls_bg = rr.normal(-5.0, 0.3, (n_bg, 3)).astype(np.float32)
+    # mid tier: 1-3-tile footprints scattered through the volume
+    pos_mid = rr.normal(0, 1.2, (n_mid, 3)).astype(np.float32)
+    ls_mid = rr.normal(-2.6, 0.2, (n_mid, 3)).astype(np.float32)
+    # near-camera giants (camera at z=5 looking at origin)
+    pos_g = np.stack([
+        rr.uniform(-1, 1, n_giant), rr.uniform(-1, 1, n_giant),
+        rr.uniform(3.2, 4.0, n_giant),
+    ], axis=1).astype(np.float32)
+    ls_g = rr.normal(-0.8, 0.2, (n_giant, 3)).astype(np.float32)
+    c = make_cloud(n, sh_degree=0, seed=seed)
+    c = c.replace(
+        pos=jnp.asarray(np.concatenate([pos_bg, pos_mid, pos_g])),
+        log_scale=jnp.asarray(np.concatenate([ls_bg, ls_mid, ls_g])),
+        opacity=jnp.asarray(
+            np.concatenate([
+                rr.normal(-1, 1, n_bg), rr.normal(0, 1, n_mid),
+                rr.normal(1.5, 0.5, n_giant),
+            ]).astype(np.float32)),
+    )
+    cam = Camera.look_at(eye=(0, 0, 5.0), target=(0, 0, 0), fov_deg=40.0,
+                         width=64, height=64)
+    return c, cam
+
+
+def test_structured_scene_crop_psnr_and_no_truncation():
+    """At-scale windowed-vs-exact quality check IN the test suite (VERDICT
+    r4 item 7): a 100k structured scene, auto-budgeted windowed render vs
+    the exact-selection oracle, >= 35 dB with zero big-splat truncation
+    under the auto budget."""
+    from gsconverter_tpu.render.rasterizer import auto_budget
+
+    c, cam = structured_scene()
+    # glob_cap raised to cover this scene's near-camera population (the
+    # z=4.5 cluster sits almost on the camera plane — hundreds of splats
+    # blow past the 3-tile mid cap); auto_budget sizes g to the need
+    b = auto_budget(c, cam, cap=16384, glob_cap=1024)
+    assert b["big_truncated"] == 0, b
+    img_w = render(c, cam, binning="windowed",
+                   max_per_tile=b["max_per_tile"],
+                   max_global=b["max_global"], tile_chunk=16)
+    img_e = render(c, cam, binning="exact",
+                   max_per_tile=b["max_per_tile"], tile_chunk=16)
+    p = float(psnr(img_w, img_e))
+    assert p >= 35.0, (p, b)
+
+
+def test_banded_render_matches_plain():
+    """Occupancy-banded scheduling is a pure re-ordering: band budgets
+    cover each band's tiles, so the image must match the flat windowed
+    render to float tolerance."""
+    from gsconverter_tpu.render.rasterizer import auto_budget
+
+    c, cam = structured_scene(n=20_000)
+    # saturation=False: band budgets cover raw counts, so banded and flat
+    # make the SAME per-tile selection — pure re-ordering
+    b = auto_budget(c, cam, cap=16384, band_chunk=2, saturation=False)
+    img_flat = render(c, cam, binning="windowed",
+                      max_per_tile=b["max_per_tile"],
+                      max_global=b["max_global"], tile_chunk=4)
+    img_band = render(c, cam, binning="windowed",
+                      max_global=b["max_global"], tile_chunk=2,
+                      tile_order=jnp.asarray(b["tile_order"]),
+                      band_plan=b["band_plan"])
+    assert float(psnr(img_band, img_flat)) > 50.0
+    # gradients flow through the banded path
+    def loss(op):
+        return jnp.sum(render(c.replace(opacity=op), cam, binning="windowed",
+                              max_global=b["max_global"], tile_chunk=2,
+                              tile_order=jnp.asarray(b["tile_order"]),
+                              band_plan=b["band_plan"]) ** 2)
+    g = np.asarray(jax.grad(loss)(c.opacity))
+    assert np.isfinite(g).all() and np.abs(g).max() > 0
+
+
 def test_windowed_crop_psnr_at_scale():
     """Scaled-down version of the bench-scene crop check (the real 1M/1080p
     crop PSNR is measured on hardware by bench.py): a dense random cloud,
