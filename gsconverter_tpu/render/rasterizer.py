@@ -87,6 +87,13 @@ def _tile_cover(means2d, radius, active, tw, th, span):
 
     Returns (tid [N, span*span] with sentinel tw*th on uncovered slots,
     n_cov [N] covered-tile counts).  ``active`` masks splats out entirely.
+
+    Coverage is the splat's DISK (center, radius) against each tile's
+    AABB — the nearest-point-in-rect test prunes the corner tiles a bbox
+    overlap would keep (~15-25% of entries for 2x2-span splats; every
+    pruned entry saves its ~7.3 ns/column share of the window gathers,
+    round-5 micro-profile).  Conservative for anisotropic splats (radius
+    is the major-axis 3-sigma bound).
     """
     n_tiles = tw * th
     tx0i = jnp.clip(jnp.floor((means2d[:, 0] - radius) / TILE), 0, tw - 1).astype(jnp.int32)
@@ -98,20 +105,27 @@ def _tile_cover(means2d, radius, active, tw, th, span):
     ).reshape(-1, 2)  # [span^2, 2] (dy, dx)
     txs = tx0i[:, None] + offs[None, :, 1]
     tys = ty0i[:, None] + offs[None, :, 0]
+    # nearest point of the tile AABB to the splat center
+    ndx = jnp.clip(means2d[:, 0:1], txs * TILE, (txs + 1) * TILE) - means2d[:, 0:1]
+    ndy = jnp.clip(means2d[:, 1:2], tys * TILE, (tys + 1) * TILE) - means2d[:, 1:2]
+    in_disk = ndx * ndx + ndy * ndy <= (radius * radius)[:, None]
     covered = (
-        (txs <= tx1i[:, None]) & (tys <= ty1i[:, None]) & active[:, None]
+        (txs <= tx1i[:, None]) & (tys <= ty1i[:, None]) & in_disk
+        & active[:, None]
     )
     tid = jnp.where(covered, tys * tw + txs, n_tiles)
-    n_cov = (tx1i - tx0i + 1) * (ty1i - ty0i + 1)
+    n_cov = jnp.sum(covered.astype(jnp.int32), axis=1)
     return tid, n_cov
 
 
 def _classify(radius, valid, max_mid):
-    """Split depth-ordered splats into small / retained-mid / global tiers.
+    """Split splats into small / retained-mid / global tiers.
 
     Returns (small, keep_mid, glob) boolean masks.  ``glob`` = true giants
     (radius > R_MID_MAX) plus mids beyond the ``max_mid`` compaction
-    capacity (depth-ordered, so the retained mids are the front-most)."""
+    capacity (capacity selection is array-order — overflow only occurs on
+    pathological scenes with >max_mid multi-tile splats, and overflow mids
+    still reach every tile through the depth-prioritized global list)."""
     small = valid & (radius <= R_SMALL_MAX)
     mid = valid & (radius > R_SMALL_MAX) & (radius <= R_MID_MAX)
     giant = valid & (radius > R_MID_MAX)
@@ -311,25 +325,36 @@ def render(
         cloud.active_sh_degree if sh_degree is None else sh_degree,
     )  # [N,3] linear
     alpha = jax.nn.sigmoid(cloud.opacity)
+    color = jnp.clip(color, 0.0, None)
+    depth_key = jnp.where(proj["in_front"], proj["depth"], jnp.inf)
 
-    # ---- global depth sort (front first) ----
-    # argsort + per-attribute gathers: a variadic sort carrying all 12
-    # attribute columns moves every payload through every merge pass
-    # (measured +400 ms at 1M vs the gathers)
-    order = jnp.argsort(jnp.where(proj["in_front"], proj["depth"], jnp.inf))
-    means2d = proj["means2d"][order]
-    conic = proj["conic"][order]
-    radius = proj["radius"][order]
-    valid = proj["in_front"][order]
-    color = jnp.clip(color[order], 0.0, None)
-    alpha = alpha[order]
+    if binning == "windowed":
+        # NO global depth pre-sort: depth rides as the SECOND sort key of
+        # both the category sort and the entry sort below, so per-tile runs
+        # come out front-to-back without ever reordering the attribute
+        # arrays (round 4 paid an argsort + 13 column gathers ~93 ms at 1M
+        # — and their scatter-add VJPs again in the backward).
+        means2d = proj["means2d"]
+        conic = proj["conic"]
+        radius = proj["radius"]
+        valid = proj["in_front"]
+    else:
+        # exact oracle path: score-by-index selection needs depth-sorted
+        # arrays (tiny scenes only — the pre-sort cost is irrelevant here)
+        order = jnp.argsort(depth_key)
+        means2d = proj["means2d"][order]
+        conic = proj["conic"][order]
+        radius = proj["radius"][order]
+        valid = proj["in_front"][order]
+        color = color[order]
+        alpha = alpha[order]
 
-    # ---- tile binning: first max_per_tile overlapping splats per tile ----
+    # ---- tile binning ----
     tx = jnp.arange(n_tiles) % tw
     ty = jnp.arange(n_tiles) // tw
     x0 = (tx * TILE).astype(jnp.float32)
     y0 = (ty * TILE).astype(jnp.float32)
-    # overlap of splat bbox [mean±r] with tile AABB
+    # overlap of splat bbox [mean±r] with tile AABB (exact path)
     lo_x = means2d[:, 0] - radius
     hi_x = means2d[:, 0] + radius
     lo_y = means2d[:, 1] - radius
@@ -347,14 +372,14 @@ def render(
         # giving every <=3-tile splat its exact footprint.
         small, keep_mid, glob = _classify(radius, valid, max_mid)
         m_mid = min(max_mid, n)
-        # ONE stable 2-bit-category sort: globals first (depth order), then
-        # retained mids (depth order) — ids ARE depth ranks.  top_k at
-        # k=256 over 1M is far slower than one u8-keyed sort.
+        # ONE (category, depth) sort: globals first in depth order, then
+        # retained mids.  top_k at k=256 over 1M is far slower.
         cat = jnp.where(
             glob, jnp.uint8(0), jnp.where(keep_mid, jnp.uint8(1), jnp.uint8(2))
         )
-        cat_s, ids_cat = jax.lax.sort(
-            (cat, jnp.arange(n, dtype=jnp.int32)), num_keys=1, is_stable=True
+        cat_s, _, ids_cat = jax.lax.sort(
+            (cat, depth_key, jnp.arange(n, dtype=jnp.int32)),
+            num_keys=2, is_stable=False,
         )
         n_glob = min(max_global, n)
         sel_g = ids_cat[:n_glob]
@@ -378,15 +403,31 @@ def render(
         ids_m = jnp.broadcast_to(
             sel_mid[:, None], (m_mid, SPAN_MID * SPAN_MID)
         ).reshape(-1)
-        # ONE variadic stable sort carrying the splat id as payload — the
-        # argsort + gather + divide chain costs two extra full passes over
-        # the key array.  Entries are (smalls in depth order, mids in depth
-        # order); per-tile depth order is restored by select_windowed's id
-        # sort (ids are depth ranks).
-        sorted_tid, entry_splat = jax.lax.sort(
-            (jnp.concatenate([tid_s.reshape(-1), tid_m.reshape(-1)]),
-             jnp.concatenate([ids_s, ids_m])),
-            num_keys=1, is_stable=True,
+        dep_s = jnp.broadcast_to(
+            depth_key[:, None], (n, SPAN_SMALL * SPAN_SMALL)
+        ).reshape(-1)
+        dep_m = jnp.broadcast_to(
+            depth_key[sel_mid][:, None], (m_mid, SPAN_MID * SPAN_MID)
+        ).reshape(-1)
+        # global candidates are INJECTED as keys into every tile
+        # (n_glob * n_tiles entries — trivial at the default max_global):
+        # they then flow through the normal windows in depth position, so
+        # the per-tile glob-merge concat + [C, M+G] sort of rounds 3-4
+        # (~90-145 ms at 1M/1080p, round-5 micro-profile) disappears.
+        tid_g = jnp.where(
+            valid_g[None, :], jnp.arange(n_tiles, dtype=jnp.int32)[:, None],
+            n_tiles,
+        ).reshape(-1)
+        ids_g = jnp.broadcast_to(sel_g[None, :], (n_tiles, n_glob)).reshape(-1)
+        dep_g = jnp.broadcast_to(
+            depth_key[sel_g][None, :], (n_tiles, n_glob)
+        ).reshape(-1)
+        # TWO-key sort (tile, depth) with the splat id as payload
+        sorted_tid, _, entry_splat = jax.lax.sort(
+            (jnp.concatenate([tid_s.reshape(-1), tid_m.reshape(-1), tid_g]),
+             jnp.concatenate([dep_s, dep_m, dep_g]),
+             jnp.concatenate([ids_s, ids_m, ids_g])),
+            num_keys=2, is_stable=False,
         )
 
     def select_exact(tile_idx):
@@ -406,23 +447,16 @@ def render(
         return sel, sel_valid, jnp.sum(sel_valid, axis=1).astype(jnp.int32)
 
     def select_windowed(tile_idx, budget):
+        # per-tile runs of the 2-key-sorted entry array are depth-ordered
+        # and already include the injected global candidates — the window
+        # is a pure contiguous slice, no merge, no per-tile sort
         start = jnp.searchsorted(sorted_tid, tile_idx, side="left")
         end = jnp.searchsorted(sorted_tid, tile_idx, side="right")
         idx = start[:, None] + jnp.arange(budget)[None, :]
         w_valid = idx < end[:, None]
         idx = jnp.clip(idx, 0, sorted_tid.shape[0] - 1)
-        # merge the global (big-splat) candidates in depth order: candidate
-        # ids ARE depth ranks, so one sort of the concatenated id lists
-        # restores front-to-back order (sentinel n sorts to the tail)
-        ids_w = jnp.where(w_valid, entry_splat[idx], n)
-        ids_g = jnp.where(valid_g[None, :], sel_g[None, :], n)
-        ids = jnp.concatenate(
-            [jnp.broadcast_to(ids_g, (tile_idx.shape[0], n_glob)), ids_w],
-            axis=1,
-        )
-        ids = jnp.sort(ids, axis=1)
-        counts = (jnp.minimum(end - start, budget)
-                  + jnp.sum(valid_g).astype(jnp.int32))
+        ids = jnp.where(w_valid, entry_splat[idx], n)
+        counts = jnp.minimum(end - start, budget)
         return jnp.clip(ids, 0, n - 1), ids < n, counts
 
     # depth-block size for the compositing scan: candidates are consumed in
@@ -527,9 +561,8 @@ def _tile_occupancy(pos, log_scale, quat, opacity, cam: Camera,
     n_tiles = tw * th
     proj = project_gaussians(pos, log_scale, quat, cam)
     means2d, radius, valid = proj["means2d"], proj["radius"], proj["in_front"]
-    # mirror the renderer: depth-sorted arrays, splat ids = depth ranks
-    order = jnp.argsort(jnp.where(valid, proj["depth"], jnp.inf))
-    means2d, radius, valid = means2d[order], radius[order], valid[order]
+    # mirror the renderer: unsorted arrays, depth rides as a sort key
+    depth_key = jnp.where(valid, proj["depth"], jnp.inf)
     n = means2d.shape[0]
     m_mid = min(max_mid, n)
     small, keep_mid, glob = _classify(radius, valid, m_mid)
@@ -538,8 +571,9 @@ def _tile_occupancy(pos, log_scale, quat, opacity, cam: Camera,
     cat = jnp.where(
         glob, jnp.uint8(0), jnp.where(keep_mid, jnp.uint8(1), jnp.uint8(2))
     )
-    _, ids_cat = jax.lax.sort(
-        (cat, jnp.arange(n, dtype=jnp.int32)), num_keys=1, is_stable=True
+    _, _, ids_cat = jax.lax.sort(
+        (cat, depth_key, jnp.arange(n, dtype=jnp.int32)),
+        num_keys=2, is_stable=False,
     )
     ids_pad = jnp.concatenate([ids_cat, jnp.zeros(m_mid, jnp.int32)])
     sel_mid = jax.lax.dynamic_slice(ids_pad, (n_globc,), (m_mid,))
@@ -561,7 +595,7 @@ def _tile_occupancy(pos, log_scale, quat, opacity, cam: Camera,
     # splat covers (advisor r4: depositing the FULL integral into every
     # covered tile overestimated multi-tile occlusion), capped at 1.
     # GAMMA_COVER is applied exactly once, in the log term below.
-    alpha = jax.nn.sigmoid(opacity)[order]
+    alpha = jax.nn.sigmoid(opacity)
 
     def occl(rad, ncov):
         return jnp.minimum(
@@ -576,17 +610,18 @@ def _tile_occupancy(pos, log_scale, quat, opacity, cam: Camera,
         jnp.broadcast_to(a_s[:, None], (n, SPAN_SMALL * SPAN_SMALL)).reshape(-1),
         jnp.broadcast_to(a_m[:, None], (m_mid, SPAN_MID * SPAN_MID)).reshape(-1),
     ])
-    ids_ent = jnp.concatenate([
+    dep_ent = jnp.concatenate([
         jnp.broadcast_to(
-            jnp.arange(n, dtype=jnp.int32)[:, None], (n, SPAN_SMALL * SPAN_SMALL)
+            depth_key[:, None], (n, SPAN_SMALL * SPAN_SMALL)
         ).reshape(-1),
-        jnp.broadcast_to(sel_mid[:, None], (m_mid, SPAN_MID * SPAN_MID)).reshape(-1),
+        jnp.broadcast_to(
+            depth_key[sel_mid][:, None], (m_mid, SPAN_MID * SPAN_MID)
+        ).reshape(-1),
     ])
-    # 2-key sort (tile, depth rank): the mid entries are appended after
-    # the smalls, so a 1-key stable tid sort would NOT be depth-ordered
-    # within a tile — the saturation prefix needs front-to-back order
+    # 2-key sort (tile, depth): the saturation prefix needs per-tile
+    # front-to-back order, which the raw entry concatenation does not have
     sorted_tid, _, a_sorted = jax.lax.sort(
-        (tid_all, ids_ent, a_ent), num_keys=2, is_stable=True
+        (tid_all, dep_ent, a_ent), num_keys=2, is_stable=False
     )
     real = sorted_tid < n_tiles
     l = jnp.where(real, jnp.log1p(-GAMMA_COVER * jnp.minimum(a_sorted, 0.99)),
@@ -673,18 +708,22 @@ def auto_budget(cloud: SplatCloud, cam: Camera, cap: int = 1024,
     counts = np.asarray(counts)
     k_sat = np.asarray(k_sat)
     n_big = int(n_big)
+    g = 32
+    while g < n_big and g < glob_cap:
+        g *= 2
+    # the renderer INJECTS the global candidates into every tile's window
+    # (min(n_big, g) entries per tile) — budgets must cover them
+    n = cloud.pos.shape[0]
+    counts = counts + min(n_big, min(g, n))
     occ_max = int(counts.max()) if counts.size else 0
     if saturation:
-        needed = np.minimum(counts, 2 * k_sat + 32)
+        needed = np.minimum(counts, 2 * k_sat + 32 + min(n_big, min(g, n)))
     else:
         needed = counts
     need_max = int(needed.max()) if needed.size else 0
     m = 32
     while m < need_max and m < cap:
         m *= 2
-    g = 32
-    while g < n_big and g < glob_cap:
-        g *= 2
     out = dict(
         max_per_tile=m,
         max_global=g,

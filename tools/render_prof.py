@@ -82,28 +82,21 @@ def main():
         color = sh_ops.eval_sh(c, proj["view_dir"], 0)
         return proj["means2d"].sum() + color.sum()
 
-    @jax.jit
-    def s_sorted(c):
+    def binned_parts(c):
         proj = project_gaussians(c.pos, c.log_scale, c.quat, cam)
-        color = sh_ops.eval_sh(c, proj["view_dir"], 0)
+        color = jnp.clip(sh_ops.eval_sh(c, proj["view_dir"], 0), 0.0, None)
         alpha = jax.nn.sigmoid(c.opacity)
-        order = jnp.argsort(jnp.where(proj["in_front"], proj["depth"], jnp.inf))
-        outs = [proj[k][order] for k in ("means2d", "conic", "radius", "in_front")]
-        return sum(o.sum() if o.dtype != bool else o.sum().astype(jnp.float32)
-                   for o in outs) + color[order].sum() + alpha[order].sum()
-
-    @jax.jit
-    def s_binned(c):
-        proj = project_gaussians(c.pos, c.log_scale, c.quat, cam)
-        order = jnp.argsort(jnp.where(proj["in_front"], proj["depth"], jnp.inf))
-        means2d = proj["means2d"][order]
-        radius = proj["radius"][order]
-        valid = proj["in_front"][order]
+        means2d = proj["means2d"]
+        conic = proj["conic"]
+        radius = proj["radius"]
+        valid = proj["in_front"]
+        depth_key = jnp.where(valid, proj["depth"], jnp.inf)
         small, keep_mid, glob = _classify(radius, valid, max_mid)
         cat = jnp.where(glob, jnp.uint8(0),
                         jnp.where(keep_mid, jnp.uint8(1), jnp.uint8(2)))
-        cat_s, ids_cat = jax.lax.sort(
-            (cat, jnp.arange(n, dtype=jnp.int32)), num_keys=1, is_stable=True)
+        cat_s, _, ids_cat = jax.lax.sort(
+            (cat, depth_key, jnp.arange(n, dtype=jnp.int32)),
+            num_keys=2, is_stable=False)
         n_globc = jnp.sum(glob.astype(jnp.int32))
         ids_pad = jnp.concatenate([ids_cat, jnp.zeros(max_mid, jnp.int32)])
         sel_mid = jax.lax.dynamic_slice(ids_pad, (n_globc,), (max_mid,))
@@ -115,44 +108,34 @@ def main():
         ids_s = jnp.broadcast_to(
             jnp.arange(n, dtype=jnp.int32)[:, None], (n, 9)).reshape(-1)
         ids_m = jnp.broadcast_to(sel_mid[:, None], (max_mid, 49)).reshape(-1)
-        sorted_tid, entry_splat = jax.lax.sort(
-            (jnp.concatenate([tid_s.reshape(-1), tid_m.reshape(-1)]),
-             jnp.concatenate([ids_s, ids_m])), num_keys=1, is_stable=True)
+        dep_s = jnp.broadcast_to(depth_key[:, None], (n, 9)).reshape(-1)
+        dep_m = jnp.broadcast_to(
+            depth_key[sel_mid][:, None], (max_mid, 49)).reshape(-1)
+        valid_g = cat_s[:32] == 0
+        sel_g = ids_cat[:32]
+        tid_g = jnp.where(
+            valid_g[None, :], jnp.arange(n_tiles, dtype=jnp.int32)[:, None],
+            n_tiles).reshape(-1)
+        ids_g = jnp.broadcast_to(sel_g[None, :], (n_tiles, 32)).reshape(-1)
+        dep_g = jnp.broadcast_to(
+            depth_key[sel_g][None, :], (n_tiles, 32)).reshape(-1)
+        sorted_tid, _, entry_splat = jax.lax.sort(
+            (jnp.concatenate([tid_s.reshape(-1), tid_m.reshape(-1), tid_g]),
+             jnp.concatenate([dep_s, dep_m, dep_g]),
+             jnp.concatenate([ids_s, ids_m, ids_g])),
+            num_keys=2, is_stable=False)
+        return sorted_tid, entry_splat, means2d, conic, color, alpha
+
+    @jax.jit
+    def s_binned(c):
+        sorted_tid, entry_splat, *_ = binned_parts(c)
         return sorted_tid.sum() + entry_splat.sum()
 
     def s_gather_fn(budget):
         @jax.jit
         def f(c):
-            proj = project_gaussians(c.pos, c.log_scale, c.quat, cam)
-            color = sh_ops.eval_sh(c, proj["view_dir"], 0)
-            alpha = jax.nn.sigmoid(c.opacity)
-            order = jnp.argsort(jnp.where(proj["in_front"], proj["depth"], jnp.inf))
-            means2d = proj["means2d"][order]
-            conic = proj["conic"][order]
-            radius = proj["radius"][order]
-            valid = proj["in_front"][order]
-            color = jnp.clip(color[order], 0.0, None)
-            alpha = alpha[order]
-            small, keep_mid, glob = _classify(radius, valid, max_mid)
-            cat = jnp.where(glob, jnp.uint8(0),
-                            jnp.where(keep_mid, jnp.uint8(1), jnp.uint8(2)))
-            cat_s, ids_cat = jax.lax.sort(
-                (cat, jnp.arange(n, dtype=jnp.int32)), num_keys=1,
-                is_stable=True)
-            n_globc = jnp.sum(glob.astype(jnp.int32))
-            ids_pad = jnp.concatenate([ids_cat, jnp.zeros(max_mid, jnp.int32)])
-            sel_mid = jax.lax.dynamic_slice(ids_pad, (n_globc,), (max_mid,))
-            mid_valid = jnp.arange(max_mid) < jnp.sum(keep_mid.astype(jnp.int32))
-            tid_s, _ = _tile_cover(means2d, jnp.minimum(radius, R_SMALL_MAX),
-                                   small, tw, th, SPAN_SMALL)
-            tid_m, _ = _tile_cover(means2d[sel_mid], radius[sel_mid],
-                                   mid_valid, tw, th, SPAN_MID)
-            ids_s = jnp.broadcast_to(
-                jnp.arange(n, dtype=jnp.int32)[:, None], (n, 9)).reshape(-1)
-            ids_m = jnp.broadcast_to(sel_mid[:, None], (max_mid, 49)).reshape(-1)
-            sorted_tid, entry_splat = jax.lax.sort(
-                (jnp.concatenate([tid_s.reshape(-1), tid_m.reshape(-1)]),
-                 jnp.concatenate([ids_s, ids_m])), num_keys=1, is_stable=True)
+            (sorted_tid, entry_splat, means2d, conic, color,
+             alpha) = binned_parts(c)
 
             def body(tile_idx):
                 start = jnp.searchsorted(sorted_tid, tile_idx, side="left")
@@ -161,7 +144,6 @@ def main():
                 w_valid = idx < end[:, None]
                 idx = jnp.clip(idx, 0, sorted_tid.shape[0] - 1)
                 ids = jnp.where(w_valid, entry_splat[idx], n)
-                ids = jnp.sort(ids, axis=1)
                 sel = jnp.clip(ids, 0, n - 1)
                 sv = ids < n
                 acc = (means2d[sel].sum() + conic[sel].sum()
@@ -185,10 +167,8 @@ def main():
 
     t_proj = timeit(lambda: sync(s_project(cloud)))
     print(f"project+SH:            {t_proj * 1e3:7.1f} ms", flush=True)
-    t_sort = timeit(lambda: sync(s_sorted(cloud)))
-    print(f"+depth sort+gathers:   {t_sort * 1e3:7.1f} ms", flush=True)
     t_bin = timeit(lambda: sync(s_binned(cloud)))
-    print(f"+key build+key sort:   {t_bin * 1e3:7.1f} ms (no attr gathers)",
+    print(f"+class+key build+sort: {t_bin * 1e3:7.1f} ms (no attr gathers)",
           flush=True)
     g = s_gather_fn(b["max_per_tile"])
     t_gath = timeit(lambda: sync(g(cloud)))
@@ -227,6 +207,32 @@ def main():
     tot = t_fwd_band + t_bwd_band
     print(f"TOTAL banded fwd + (fwd+bwd): {tot:.3f} s -> "
           f"{n / tot / 1e6:.2f} Msplats/s", flush=True)
+
+    # ---- config sweep (banded) ----
+    for remat, tc, bm in [(False, 128, 64), (True, 256, 64), (True, 128, 128),
+                          (False, 256, 64)]:
+        try:
+            b2 = auto_budget(cloud, cam, band_chunk=tc)
+            od = jnp.asarray(b2["tile_order"])
+            kw2 = dict(binning="windowed", max_global=b2["max_global"],
+                       tile_chunk=tc, block_m=bm, remat=remat,
+                       band_plan=b2["band_plan"])
+            ff = jax.jit(lambda c: jnp.sum(render(c, cam, tile_order=od, **kw2)))
+            tf = timeit(lambda: sync(ff(cloud)))
+
+            def lb(op):
+                return jnp.sum(render(cloud.replace(opacity=op), cam,
+                                      tile_order=od, **kw2) ** 2)
+
+            gb = jax.jit(jax.grad(lb))
+            tb = timeit(lambda: sync(gb(cloud.opacity)))
+            tot2 = tf + tb
+            print(f"remat={remat} tc={tc} bm={bm}: fwd {tf * 1e3:6.1f} ms, "
+                  f"fwd+bwd {tb * 1e3:7.1f} ms, total {tot2:.3f} s -> "
+                  f"{n / tot2 / 1e6:.2f} Msplats/s", flush=True)
+        except Exception as e:
+            print(f"remat={remat} tc={tc} bm={bm}: FAILED {type(e).__name__}: "
+                  f"{str(e)[:200]}", flush=True)
 
 
 if __name__ == "__main__":
