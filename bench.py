@@ -292,11 +292,13 @@ def run(kind, argv):
         print(f"render bands: {budget['band_plan']}", file=sys.stderr,
               flush=True)
         # occupancy-banded scheduling (round 5): tiles grouped by measured
-        # need, each band with its own pow2 budget; tile_chunk=128 within a
-        # band amortizes the per-chunk gather + launch overhead
+        # need, each band with its own pow2 budget.  tile_chunk=128 +
+        # remat=False: the round-5 sweep best — banded budgets shrink the
+        # saved activations enough that storing them beats re-rendering
+        # each chunk in the backward (tools/render_prof.py sweep).
         torder = jnp.asarray(budget["tile_order"])
         kw = dict(binning="windowed", max_global=budget["max_global"],
-                  tile_chunk=128, block_m=64, tile_order=torder,
+                  tile_chunk=128, block_m=64, remat=False, tile_order=torder,
                   band_plan=budget["band_plan"])
         def loss(op):
             img = render(cloud.replace(opacity=op), cam, **kw)

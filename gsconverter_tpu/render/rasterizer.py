@@ -467,6 +467,18 @@ def render(
     # thousands or per-step launch overhead dominates.
     BM = block_m
 
+    # Packed row table for the candidate gathers: TPU gather cost is
+    # per-ROW, not per-element (round-5 probe: a [N,12] row gather of 8M
+    # indices costs 76 ms where 9 separate column gathers cost ~680 ms) —
+    # the single biggest lever on the 1M/1080p forward.  Alpha stays a
+    # SEPARATE column gather: scatter-add (the gather's VJP) is
+    # per-ELEMENT, so a loss differentiated w.r.t. opacity alone would pay
+    # a full 9-column scatter if alpha rode in the packed table, versus a
+    # 1-column scatter on its own (~330 ms -> ~36 ms at 1M/1080p).
+    packed = jnp.concatenate(
+        [means2d, conic, color], axis=1
+    )  # [N, 8]: mean(2) conic(3) color(3)
+
     def bin_and_render(tile_idx, budget=max_per_tile):
         # tile_idx: [C] chunk of tile ids
         c_sz = tile_idx.shape[0]
@@ -493,9 +505,10 @@ def render(
             ty0[:, None, None] + px[None, :, None], (c_sz, TILE, TILE)
         ).reshape(-1, TILE * TILE)
 
-        g_mean = means2d[sel]  # [C,M',2]
-        g_conic = conic[sel]
-        g_color = color[sel]
+        g = packed[sel]  # [C,M',8] — one row gather for geometry + color
+        g_mean = g[..., 0:2]
+        g_conic = g[..., 2:5]
+        g_color = g[..., 5:8]
         g_alpha = jnp.where(sel_valid, alpha[sel], 0.0)
         # dynamic block bound: valid candidates sort to the front, so the
         # compositing loop only needs ceil(max_count/BM) blocks — at the

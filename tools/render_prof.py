@@ -136,6 +136,7 @@ def main():
         def f(c):
             (sorted_tid, entry_splat, means2d, conic, color,
              alpha) = binned_parts(c)
+            packed = jnp.concatenate([means2d, conic, color], axis=1)
 
             def body(tile_idx):
                 start = jnp.searchsorted(sorted_tid, tile_idx, side="left")
@@ -146,10 +147,8 @@ def main():
                 ids = jnp.where(w_valid, entry_splat[idx], n)
                 sel = jnp.clip(ids, 0, n - 1)
                 sv = ids < n
-                acc = (means2d[sel].sum() + conic[sel].sum()
-                       + color[sel].sum()
-                       + jnp.where(sv, alpha[sel], 0.0).sum())
-                return acc
+                g = packed[sel]  # one row gather (round-5: per-ROW cost)
+                return g.sum() + jnp.where(sv, alpha[sel], 0.0).sum()
 
             chunks = -(-n_tiles // 128)
             tid = jnp.concatenate(
