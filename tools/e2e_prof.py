@@ -60,16 +60,24 @@ def main():
     src = os.path.join(d, "scene.ply")
     t0 = time.perf_counter()
     mint_scene(src, n)
-    print(f"mint {n}: {time.perf_counter() - t0:.1f}s", flush=True)
+    # drain the scene writeback: this box throttles writers to ~30 MB/s
+    # once ~1 GB of dirty pages accumulate (bench.py dirty-cliff note)
+    os.sync()
+    print(f"mint+sync {n}: {time.perf_counter() - t0:.1f}s", flush=True)
     kw = dict(bbox=(-60, -60, -60, 60, 60, 60), min_opacity=5,
               sor_intensity=4, density_sensitivity=0.5, force=True)
-    for rnd in ("warm", "timed"):
+    for rnd in ("warm", "timed1", "timed2"):
+        if rnd != "warm":
+            os.sync()
+            time.sleep(12)  # refill the disk's burst bucket (bench.py note)
         tot = 0.0
         for fmt in fmts:
             t0 = time.perf_counter()
             convert(src, os.path.join(d, f"{rnd}.{fmt}"), fmt, **kw)
             dt = time.perf_counter() - t0
             tot += dt
+            # unlink before writeback competes with the next run
+            os.unlink(os.path.join(d, f"{rnd}.{fmt}"))
             print(f"[{rnd}] {fmt}: {dt:.2f}s", flush=True)
         print(f"[{rnd}] total {tot:.2f}s -> "
               f"{len(fmts) * n / tot / 1e6:.2f} Msplats/s", flush=True)
