@@ -99,8 +99,12 @@ def _read_webp_flat(zf: zipfile.ZipFile, name: str, expected: int) -> np.ndarray
 
 @jax.jit
 def _encode_fixed(pos, quat, opacity):
-    # Morton order — must match _encode_fixed_host so device- and host-
-    # resident pipelines emit identically-ordered containers
+    # Morton order — must match the host write path so device- and host-
+    # resident pipelines emit identically-ordered containers.  One u32
+    # Morton argsort instead of the reference's 3-key lexsort: lexsort
+    # runs three stable argsort passes (~2 s at 3M) where Morton needs
+    # one, with equal-or-better 2D texture locality for the WebP delta
+    # filters; the ordering only affects compression ratio, not values.
     mins3 = jnp.min(pos, axis=0)
     rng3 = jnp.max(pos, axis=0) - mins3
     t = (pos - mins3) / jnp.where(rng3 > 0, rng3, 1.0)
@@ -115,38 +119,6 @@ def _encode_fixed(pos, quat, opacity):
     u16 = jnp.clip((lp - mins) / rng * 65535.0, 0, 65535).astype(jnp.uint16)
     q_u8, q_alpha = quant.pack_rot_sog(quat[order])
     op_u8 = jnp.clip(jax.nn.sigmoid(opacity[order]) * 255.0, 0, 255).astype(jnp.uint8)
-    return order, u16, mins, maxs, q_u8, q_alpha, op_u8
-
-
-def _encode_fixed_host(pos, quat, opacity):
-    """Numpy mirror of ``_encode_fixed`` for host-resident clouds.
-
-    The device version costs ~40 MB of uploads plus ~35 MB of readbacks;
-    on the measured ~40 MB/s link in each direction that's seconds of wall
-    time for <1 s of host arithmetic (SOG write profile, round 4).
-
-    Ordering delta: one u32 Morton argsort instead of the reference's
-    3-key lexsort — lexsort runs three stable argsort passes (~2 s at 3M)
-    where Morton needs one (~0.4 s), and Morton order gives equal-or-
-    better 2D texture locality for the WebP delta filters.  The ordering
-    only affects compression ratio, not decoded values."""
-    pos = np.ascontiguousarray(pos)
-    mins3 = pos.min(axis=0)
-    rng3 = pos.max(axis=0) - mins3
-    t = (pos - mins3) / np.where(rng3 > 0, rng3, 1.0)
-    g = (t * 1023.0).astype(np.uint32)
-    order = np.argsort(quant.morton3_u32(g[:, 0], g[:, 1], g[:, 2]),
-                       kind="stable")
-    p = pos[order]
-    lp = np.sign(p) * np.log1p(np.abs(p))
-    mins = lp.min(axis=0)
-    maxs = lp.max(axis=0)
-    rng = np.where(maxs - mins > 0, maxs - mins, 1.0)
-    u16 = np.clip((lp - mins) / rng * 65535.0, 0, 65535).astype(np.uint16)
-    q_u8, q_alpha = quant.pack_rot_sog(np.ascontiguousarray(quat)[order])
-    op_u8 = np.clip(
-        quant.sigmoid(np.ascontiguousarray(opacity)[order]) * 255.0, 0, 255
-    ).astype(np.uint8)
     return order, u16, mins, maxs, q_u8, q_alpha, op_u8
 
 
@@ -300,29 +272,6 @@ class SogFormat(BaseFormat):
         from ..utils.transfer import to_host
 
         host = cloud.is_host
-        if host:
-            # Host-resident encode: the device version pays ~40 MB up +
-            # ~35 MB back over a ~40 MB/s-each-way link for <1 s of
-            # arithmetic (round-4 SOG profile: 4-5 s for this stage alone).
-            order_np, u16, mins, maxs, q_u8, q_alpha, op_u8 = \
-                _encode_fixed_host(cloud.pos, cloud.quat, cloud.opacity)
-        else:
-            order, u16, mins, maxs, q_u8, q_alpha, op_u8 = _encode_fixed(
-                cloud.pos, cloud.quat, cloud.opacity
-            )
-            order_np = to_host(order)
-            u16 = to_host(u16)
-        _mark("encode_fixed+pulls")
-
-        # shN palette input starts uploading EARLY and asynchronously:
-        # device_put returns a handle while the ~2 s transfer (72 MB u8 at
-        # the link's ~35 MB/s) proceeds in the background, overlapped with
-        # the image packing and scalar-codebook stages below.  u8 instead
-        # of f32 (288 MB): every centroid value is later snapped to a
-        # 256-entry scalar codebook, so u8 pre-quantization is below the
-        # format's own precision floor.  Bounds come from a strided SAMPLE
-        # (exact min/max would cost two extra passes over the mmap);
-        # out-of-sample outliers clip to the edge codebook entries.
         sh_bands = effective_sh_degree(cloud, kwargs, 3)
         _mark("detect_bands")
 
@@ -351,38 +300,123 @@ class SogFormat(BaseFormat):
 
         fit_handles = None
         shq_scale = shq_min = 0.0
-        if sh_bands > 0 and host:
-            coeffs0 = COEFFS_FOR_DEGREE[sh_bands]
-            rest_sl = np.asarray(cloud.sh_rest)[:, :, :coeffs0 // 3]
-            samp = rest_sl[::97].astype(np.float32)
-            shq_min = float(samp.min()) if samp.size else 0.0
-            mx = float(samp.max()) if samp.size else 1.0
-            shq_scale = (mx - shq_min) / 255.0 or 1.0
-            # chunked: strided mmap read + arithmetic + u8 store stay
-            # cache-resident per block instead of five full-size temporaries
-            q8 = np.empty((n, coeffs0), np.uint8)
-            inv = 1.0 / shq_scale
-            for s in range(0, n, 262144):
-                blk = rest_sl[s:s + 262144].reshape(-1, coeffs0)
-                q8[s:s + 262144] = np.clip((blk - shq_min) * inv + 0.5, 0, 255)
-            q8 = q8[order_np]
-            _mark("shN_quant_u8")
-            # async upload (u8: 4x slimmer than f32 and below the format's
-            # own 256-codebook precision floor), then DISPATCH the fit —
-            # jax returns handles immediately; the centroids/labels pulls
-            # happen after the host texture + codebook stages below
-            x_u8 = jax.device_put(q8)
-            status_print(
-                f"SH Clustering: K={num_chunks * k_per_chunk}, Points={n}, "
-                f"chunks={num_chunks} (single-jit batched MXU K-Means, "
-                "overlapped with host stages)"
+        if host:
+            # Host-resident encode, round-5 layout: ONE serial phase
+            # (Morton order — every later stage consumes it), then every
+            # remaining [order]-indexed encode runs CONCURRENTLY on a
+            # 2-worker pool (numpy releases the GIL) while the MAIN thread
+            # walks the critical path to the DEVICE palette fit (shN u8
+            # quantize -> async upload -> fit dispatch).  The fit then
+            # crunches on the MXU while the host encodes — levels 1 and 10
+            # cost nearly the same wall time because the palette work is
+            # hidden behind the palette-independent stages.
+            pos_c = np.ascontiguousarray(np.asarray(cloud.pos))
+            mins3 = pos_c.min(axis=0)
+            rng3 = pos_c.max(axis=0) - mins3
+            t01 = (pos_c - mins3) / np.where(rng3 > 0, rng3, 1.0)
+            gq = (t01 * 1023.0).astype(np.uint32)
+            order_np = np.argsort(
+                quant.morton3_u32(gq[:, 0], gq[:, 1], gq[:, 2]), kind="stable"
             )
-            x_dev = _dequant_u8(x_u8, jnp.float32(shq_scale),
-                                jnp.float32(shq_min))
-            fit_handles = kmeans_chunked(
-                x_dev, num_chunks, k_per_chunk, max_iter=10, seed=100
+            _mark("morton_order")
+
+            import concurrent.futures as cf
+
+            def enc_pos():
+                p = pos_c[order_np]
+                # copysign, not sign*: np.sign is ~15x slower than copysign
+                lp = np.copysign(np.log1p(np.abs(p)), p)
+                mins = lp.min(axis=0)
+                maxs = lp.max(axis=0)
+                rng = np.where(maxs - mins > 0, maxs - mins, 1.0)
+                u16 = np.clip(
+                    (lp - mins) / rng * 65535.0, 0, 65535).astype(np.uint16)
+                return u16, mins, maxs
+
+            def enc_quat():
+                return quant.pack_rot_sog(
+                    np.ascontiguousarray(np.asarray(cloud.quat))[order_np])
+
+            def enc_scales():
+                scl = np.ascontiguousarray(
+                    np.asarray(cloud.log_scale))[order_np]
+                cb = _fit_scalar_codebook_host(scl, seed=1)
+                return cb, quant.nearest_codebook_index(scl, cb).astype(np.uint8)
+
+            def enc_sh0():
+                dc = np.ascontiguousarray(np.asarray(cloud.sh_dc))[order_np]
+                cb = _fit_scalar_codebook_host(dc, seed=2)
+                idx = quant.nearest_codebook_index(dc, cb).astype(np.uint8)
+                op = np.clip(quant.sigmoid(
+                    np.ascontiguousarray(np.asarray(cloud.opacity))[order_np]
+                ) * 255.0, 0, 255).astype(np.uint8)
+                return cb, idx, op
+
+            status_print("Clustering Scales...")
+            status_print("Clustering Colors...")
+            pool = cf.ThreadPoolExecutor(2)
+            futs = [pool.submit(f)
+                    for f in (enc_pos, enc_quat, enc_scales, enc_sh0)]
+            if sh_bands > 0:
+                coeffs0 = COEFFS_FOR_DEGREE[sh_bands]
+                rest_sl = np.asarray(cloud.sh_rest)[:, :, :coeffs0 // 3]
+                # bounds from a strided SAMPLE (exact min/max would cost
+                # two extra passes over the mmap); u8 pre-quantization is
+                # below the format's own 256-codebook precision floor
+                samp = rest_sl[::97].astype(np.float32)
+                shq_min = float(samp.min()) if samp.size else 0.0
+                mx = float(samp.max()) if samp.size else 1.0
+                shq_scale = (mx - shq_min) / 255.0 or 1.0
+                # chunked: strided mmap read + arithmetic + u8 store stay
+                # cache-resident per block, not five full-size temporaries
+                q8 = np.empty((n, coeffs0), np.uint8)
+                inv = 1.0 / shq_scale
+                for s in range(0, n, 262144):
+                    blk = rest_sl[s:s + 262144].reshape(-1, coeffs0)
+                    q8[s:s + 262144] = np.clip((blk - shq_min) * inv + 0.5,
+                                               0, 255)
+                q8 = q8[order_np]
+                _mark("shN_quant_u8")
+                x_u8 = jax.device_put(q8)  # async upload
+                status_print(
+                    f"SH Clustering: K={num_chunks * k_per_chunk}, "
+                    f"Points={n}, chunks={num_chunks} (single-jit batched "
+                    "MXU K-Means, overlapped with host stages)"
+                )
+                x_dev = _dequant_u8(x_u8, jnp.float32(shq_scale),
+                                    jnp.float32(shq_min))
+                fit_handles = kmeans_chunked(
+                    x_dev, num_chunks, k_per_chunk, max_iter=10, seed=100
+                )
+                _mark("shN_fit_dispatch")
+            u16, mins, maxs = futs[0].result()
+            q_u8, q_alpha = futs[1].result()
+            scale_cb, scl_idx = futs[2].result()
+            color_cb, dc_idx, op_u8 = futs[3].result()
+            pool.shutdown()
+            _mark("encode_threads_join")
+        else:
+            order, u16, mins, maxs, q_u8, q_alpha, op_u8 = _encode_fixed(
+                cloud.pos, cloud.quat, cloud.opacity
             )
-            _mark("shN_fit_dispatch")
+            order_np = to_host(order)
+            u16 = to_host(u16)
+            _mark("encode_fixed+pulls")
+            status_print("Clustering Scales...")
+            scl_sorted = np.ascontiguousarray(
+                np.asarray(cloud.log_scale))[order_np]
+            scale_cb = _fit_scalar_codebook(jnp.asarray(scl_sorted), seed=1)
+            # codebook indices fit u8 (256 entries): cast ON DEVICE so the
+            # readback carries 1 byte per value, not 4
+            scl_idx = to_host(_nearest_u8(jnp.asarray(scl_sorted),
+                                          jnp.asarray(scale_cb)))
+            status_print("Clustering Colors...")
+            dc_sorted = np.ascontiguousarray(np.asarray(cloud.sh_dc))[order_np]
+            color_cb = _fit_scalar_codebook(jnp.asarray(dc_sorted), seed=2)
+            dc_idx = to_host(_nearest_u8(jnp.asarray(dc_sorted),
+                                         jnp.asarray(color_cb)))
+            op_u8 = to_host(op_u8)
+            _mark("scalar_codebooks")
 
         zf = zipfile.ZipFile(path, "w", zipfile.ZIP_STORED)
         bundle = _ImageBundle(zf, width, height)
@@ -394,51 +428,22 @@ class SogFormat(BaseFormat):
         means_u[:n, :3] = (u16 >> 8).astype(np.uint8)
         write_img("means_l.webp", means_l)
         write_img("means_u.webp", means_u)
-        _mark("means_imgs")
 
         quats = np.full((npix, 4), 255, np.uint8)
         quats[:n, :3] = to_host(q_u8)
         quats[:n, 3] = to_host(q_alpha)
         write_img("quats.webp", quats)
-        _mark("quats")
 
-        status_print("Clustering Scales...")
-        scl_sorted = np.ascontiguousarray(np.asarray(cloud.log_scale))[order_np]
-        status_print("Clustering Colors...")
-        dc_sorted = np.ascontiguousarray(np.asarray(cloud.sh_dc))[order_np]
-        if host:
-            # the two scalar fits are independent ~0.5 s host Lloyd loops:
-            # run them on threads (numpy releases the GIL on the large
-            # ufuncs) while the device palette fit crunches in parallel
-            import concurrent.futures as cf
-
-            with cf.ThreadPoolExecutor(2) as fitex:
-                f_scale = fitex.submit(_fit_scalar_codebook_host, scl_sorted, 1)
-                f_color = fitex.submit(_fit_scalar_codebook_host, dc_sorted, 2)
-                scale_cb = f_scale.result()
-                color_cb = f_color.result()
-            scl_idx = quant.nearest_codebook_index(
-                scl_sorted, scale_cb).astype(np.uint8)
-            dc_idx = quant.nearest_codebook_index(
-                dc_sorted, color_cb).astype(np.uint8)
-        else:
-            scale_cb = _fit_scalar_codebook(jnp.asarray(scl_sorted), seed=1)
-            # codebook indices fit u8 (256 entries): cast ON DEVICE so the
-            # readback carries 1 byte per value, not 4
-            scl_idx = to_host(_nearest_u8(jnp.asarray(scl_sorted), jnp.asarray(scale_cb)))
-            color_cb = _fit_scalar_codebook(jnp.asarray(dc_sorted), seed=2)
-            dc_idx = to_host(_nearest_u8(jnp.asarray(dc_sorted), jnp.asarray(color_cb)))
         scales_img = np.zeros((npix, 4), np.uint8)
         scales_img[:n, :3] = scl_idx
         scales_img[:n, 3] = 255
         write_img("scales.webp", scales_img)
-        _mark("scales_codebook")
 
         sh0_img = np.zeros((npix, 4), np.uint8)
         sh0_img[:n, :3] = dc_idx
         sh0_img[:n, 3] = to_host(op_u8)
         write_img("sh0.webp", sh0_img)
-        _mark("sh0_codebook")
+        _mark("texture_imgs")
 
         shN_meta = None
         if sh_bands > 0:
