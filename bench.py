@@ -561,6 +561,16 @@ def main():
 
     # Budgeted extras (BASELINE configs 2, 3, 4, 5); a timeout or fault
     # restarts the worker and only loses that workload.
+
+    # Render FIRST: it is TPU-bound and benefits most from the quiet
+    # window before the file workloads churn the host (round-5: the same
+    # program read 0.92 s standalone and 1.21 s late in the bench).
+    extra["render_1m_1080p_msplats"] = None
+    if remaining() > 90:
+        extra["render_1m_1080p_msplats"] = rate_of(
+            run_rec("render_1m_1080p_msplats", "render",
+                    [1_000_000, 1088, 1920], timeout=remaining()))
+
     e2e_1m = None
     if remaining() > 120:
         e2e_1m = run_rec("e2e_1m_filters_msplats", "e2e", [1_000_000],
@@ -588,7 +598,6 @@ def main():
         ("roundtrip_100k_ref_msplats", "roundtrip_ref", [100_000], 60),
         ("e2e_1m_reference_cpu_msplats", "e2e_ref", [1_000_000], 180),
         ("batch_4x200k_x3fmt_msplats", "batch", [4, 200_000], 120),
-        ("render_1m_1080p_msplats", "render", [1_000_000, 1088, 1920], 90),
     ):
         extra[key] = None
         if remaining() > need:
